@@ -1,0 +1,75 @@
+package graft
+
+import graft.chunk.Chunkers
+import graft.extract.{HtmlExtract, Normalize, PdfLayout}
+import graft.md.Markdown
+import graft.model.{Doc, PdfElement}
+
+/** Small CLI driving the library through its public API — used by the verify
+  * recipe (.claude/skills/verify) to observe extraction end-to-end without
+  * Spark. Usage: sbt "runMain graft.Demo".
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    // 1. dialect normalization on a raw azure-style payload
+    val raw =
+      """# Quarterly report
+        |
+        |Revenue grew in all segments.
+        |<!-- PageBreak -->
+        |<figure>chart of revenue</figure>
+        |
+        |Costs were flat.
+        |""".stripMargin
+    val figs = Seq(graft.extract.NormImage("img-0", "img-0.png", "image/png", ""))
+    val normalized = Normalize.azure(raw, figs)
+    println("== azure-dialect normalization ==")
+    normalized.spans.foreach(s => println(f"  ${s.offset}%2d ${s.kind}%-11s ${s.media_ref}%-10s ${s.text.linesIterator.next()}"))
+
+    // 2. HTML boilerplate strip
+    val html =
+      """<html><head><title>t</title><style>p{}</style></head><body>
+        |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+        |<article><h1>Main headline</h1>
+        |<p>This is the real article body with enough text to count as content.</p>
+        |<img src="hero.jpg" alt="hero"/>
+        |<ul><li>first bullet point of the story</li><li>second bullet point</li></ul>
+        |<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table>
+        |</article>
+        |<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+        |</body></html>""".stripMargin
+    println("== html extraction (boilerplate stripped) ==")
+    val extracted = HtmlExtract.extract(html)
+    extracted.spans.foreach(s => println(f"  ${s.offset}%2d ${s.kind}%-11s ${s.media_ref}%-10s ${s.text.linesIterator.next()}"))
+
+    // 3. PDF layout reading order (two columns + image)
+    val elements = Seq(
+      PdfElement(1, 50, 40, 500, 20, "text", "# Full-width title"),
+      PdfElement(1, 50, 100, 200, 400, "text", "Left column paragraph."),
+      PdfElement(1, 320, 100, 200, 180, "text", "Right column paragraph."),
+      PdfElement(1, 320, 300, 200, 150, "image", ""),
+      PdfElement(2, 50, 60, 470, 600, "text", "Second page body."))
+    println("== pdf layout (reading order) ==")
+    val laid = PdfLayout.layout(elements)
+    laid.spans.foreach(s => println(f"  ${s.offset}%2d ${s.kind}%-11s ${s.media_ref}%-10s ${s.text.linesIterator.nextOption().getOrElse("")}"))
+
+    // 4. chunking the extracted doc
+    val doc = Doc("demo-1", laid.spans)
+    println("== markdown chunks ==")
+    Chunkers.markdownChunks(doc, maxChunkSize = 120, chunkOverlap = 20).foreach { c =>
+      println(f"  chunk ${c.chunk_index} header='${c.header}' media=${c.media_refs.mkString(",")} len=${c.content.length}")
+    }
+
+    // 5. golden round-trip (if the reference snapshot is present)
+    val ambr = new java.io.File("/root/reference/tests/__snapshots__/test_output.ambr")
+    if (ambr.exists()) {
+      val text = new String(java.nio.file.Files.readAllBytes(ambr.toPath))
+      val start = text.indexOf("'''", text.indexOf("test_azure_export[markdown_content]"))
+      val end = text.indexOf("'''", start + 3)
+      val golden = text.substring(start + 3, end).split("\n").map(_.stripPrefix("  ")).mkString("\n")
+      val spans = Markdown.parse(golden)
+      val rt = Markdown.parse(Markdown.render(spans))
+      println(s"== azure golden: ${spans.length} spans, round-trip equal = ${rt == spans} ==")
+    }
+  }
+}

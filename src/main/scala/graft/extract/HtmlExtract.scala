@@ -1,0 +1,248 @@
+package graft.extract
+
+import graft.model.{Span, SpanKind}
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch HTML main-content extraction: a tag-soup lexer feeding a
+  * block segmenter, then a text-density + link-density boilerplate classifier
+  * (the DOM-heuristic the north rule asks for; algorithmic lineage is the
+  * public Boilerpipe line of work — Kohlschütter et al., WSDM 2010 — not any
+  * reference code: docler delegates HTML to external services, e.g.
+  * markitdown_provider/provider.py:35-59, so this stage is new).
+  *
+  * Output mirrors the docler converter span shape: markdown headers,
+  * paragraphs, `-` lists, pipe tables, `![img-K](img-K.ext)` image spans.
+  * Pure function of the input string — safe inside `Dataset.map`.
+  */
+object HtmlExtract {
+
+  private val BlockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "br", "article", "section", "header", "footer", "nav",
+    "aside", "main", "blockquote", "pre", "td", "th", "thead", "tbody",
+    "figure", "figcaption", "hr", "form", "body", "html")
+
+  /** Containers whose entire subtree is site boilerplate by construction. */
+  private val BoilerContainers = Set("nav", "footer", "aside", "header", "form")
+
+  private val SkipContent = Set("script", "style", "noscript", "template", "svg", "head")
+
+  private final case class Block(
+      text: StringBuilder = new StringBuilder,
+      var linkChars: Int = 0,
+      var headingLevel: Int = 0,
+      var isListItem: Boolean = false,
+      var inBoiler: Boolean = false,
+      images: ArrayBuffer[(String, String)] = ArrayBuffer.empty) { // (alt, srcExt)
+    def totalChars: Int = text.length
+    def linkDensity: Double =
+      if (totalChars == 0) if (images.nonEmpty) 0.0 else 1.0
+      else linkChars.toDouble / totalChars
+  }
+
+  final case class Extracted(spans: Seq[Span], images: Seq[NormImage])
+
+  /** Extract main-content spans from an HTML document. Deterministic. */
+  def extract(html: String): Extracted = {
+    val blocks = segment(html)
+    val kept = classify(blocks)
+    toSpans(kept)
+  }
+
+  // ------------------------------------------------------------- lexer+segmenter
+
+  private def segment(html: String): IndexedSeq[Block] = {
+    val blocks = ArrayBuffer.empty[Block]
+    var cur = new Block
+    val tagStack = ArrayBuffer.empty[String]
+    var linkDepth = 0
+    var boilerDepth = 0
+    var skipDepth = 0
+    var tableDepth = 0
+    val tableRows = ArrayBuffer.empty[ArrayBuffer[String]]
+    var cellBuf = new StringBuilder
+    var inCell = false
+
+    def flush(): Unit = {
+      val trimmed = cur.text.toString.trim
+      if (trimmed.nonEmpty || cur.images.nonEmpty) {
+        val b = new Block(new StringBuilder(collapseWs(trimmed)), cur.linkChars,
+          cur.headingLevel, cur.isListItem, cur.inBoiler || boilerDepth > 0, cur.images)
+        blocks += b
+      }
+      cur = new Block
+      cur.inBoiler = boilerDepth > 0
+      if (tagStack.lastOption.exists(t => t.length == 2 && t(0) == 'h' && t(1).isDigit))
+        cur.headingLevel = tagStack.last(1) - '0'
+      if (tagStack.contains("li")) cur.isListItem = true
+    }
+
+    def emitTable(): Unit = {
+      flush()
+      val rows = tableRows.filter(_.exists(_.nonEmpty))
+      if (rows.nonEmpty) {
+        val width = rows.map(_.length).max
+        val norm = rows.map(r => r.padTo(width, "").toSeq)
+        val md = new StringBuilder
+        md ++= norm.head.mkString("| ", " | ", " |")
+        md += '\n'
+        md ++= Seq.fill(width)("---").mkString("| ", " | ", " |")
+        norm.tail.foreach { r => md += '\n'; md ++= r.mkString("| ", " | ", " |") }
+        val b = new Block(new StringBuilder(md.toString))
+        b.inBoiler = boilerDepth > 0
+        blocks += b
+      }
+      tableRows.clear()
+    }
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i + 1)
+          if (end < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, end).trim
+            val closing = inner.startsWith("/")
+            val nameEnd0 = inner.drop(if (closing) 1 else 0)
+            val name = nameEnd0.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            if (name.nonEmpty) {
+              if (SkipContent.contains(name)) {
+                if (!closing && !inner.endsWith("/")) skipDepth += 1
+                else if (closing && skipDepth > 0) skipDepth -= 1
+              } else if (skipDepth == 0) {
+                if (!closing) {
+                  name match {
+                    case "a" => linkDepth += 1
+                    case "img" =>
+                      val src = attr(inner, "src").getOrElse("")
+                      val alt = attr(inner, "alt").getOrElse("")
+                      val ext = src.split('?').head.split('.').lastOption
+                        .filter(e => e.length <= 4 && e.forall(_.isLetterOrDigit))
+                        .getOrElse("png").toLowerCase
+                      if (inCell) () // images inside table cells dropped
+                      else cur.images += ((alt, ext))
+                    case "table" =>
+                      if (tableDepth == 0) flush()
+                      tableDepth += 1
+                    case "tr" if tableDepth > 0 => tableRows += ArrayBuffer.empty[String]
+                    case "td" | "th" if tableDepth > 0 =>
+                      inCell = true; cellBuf = new StringBuilder
+                    case t if BoilerContainers.contains(t) =>
+                      flush(); boilerDepth += 1; cur.inBoiler = true
+                    case t if BlockTags.contains(t) =>
+                      flush()
+                      if (t.length == 2 && t(0) == 'h' && t(1).isDigit)
+                        cur.headingLevel = t(1) - '0'
+                      if (t == "li") cur.isListItem = true
+                    case _ => ()
+                  }
+                  if (!inner.endsWith("/")) tagStack += name
+                  else if (name == "br") flush()
+                } else {
+                  name match {
+                    case "a" => linkDepth = math.max(0, linkDepth - 1)
+                    case "table" if tableDepth > 0 =>
+                      tableDepth -= 1
+                      if (tableDepth == 0) emitTable()
+                    case "td" | "th" if tableDepth > 0 =>
+                      if (inCell) {
+                        if (tableRows.isEmpty) tableRows += ArrayBuffer.empty[String]
+                        tableRows.last += collapseWs(cellBuf.toString.trim).replace("|", "\\|")
+                        inCell = false
+                      }
+                    case t if BoilerContainers.contains(t) =>
+                      flush(); boilerDepth = math.max(0, boilerDepth - 1)
+                      cur.inBoiler = boilerDepth > 0
+                    case t if BlockTags.contains(t) => flush()
+                    case _ => ()
+                  }
+                  val idx = tagStack.lastIndexOf(name)
+                  if (idx >= 0) tagStack.remove(idx)
+                }
+              }
+            }
+            i = end + 1
+          }
+        }
+      } else {
+        val next = html.indexOf('<', i)
+        val stop = if (next < 0) n else next
+        if (skipDepth == 0 && tableDepth == 0) {
+          val txt = decodeEntities(html.substring(i, stop))
+          cur.text ++= txt
+          if (linkDepth > 0) cur.linkChars += txt.count(!_.isWhitespace)
+        } else if (skipDepth == 0 && inCell) {
+          cellBuf ++= decodeEntities(html.substring(i, stop))
+        }
+        i = stop
+      }
+    }
+    flush()
+    blocks.toIndexedSeq
+  }
+
+  // --------------------------------------------------------------- classifier
+
+  /** Boilerplate classifier: a block is dropped when it lives in a boilerplate
+    * container, or its link density is high, or it is a short low-content
+    * fragment. Headings survive on structure, not length.
+    */
+  private def classify(blocks: IndexedSeq[Block]): IndexedSeq[Block] =
+    blocks.filter { b =>
+      if (b.inBoiler) false
+      else if (b.headingLevel > 0) b.linkDensity <= 0.5
+      else if (b.images.nonEmpty && b.totalChars == 0) true
+      else if (b.linkDensity > 0.5) false
+      else if (b.linkDensity > 0.33 && b.totalChars < 80) false
+      else if (b.totalChars < 8 && !b.isListItem) false
+      else true
+    }
+
+  // ------------------------------------------------------------------ emitter
+
+  private def toSpans(blocks: IndexedSeq[Block]): Extracted = {
+    val spans = ArrayBuffer.empty[Span]
+    val images = ArrayBuffer.empty[NormImage]
+    blocks.foreach { b =>
+      val txt = b.text.toString
+      if (txt.nonEmpty) {
+        val md =
+          if (b.headingLevel > 0) ("#" * b.headingLevel) + " " + txt
+          else if (b.isListItem) "- " + txt
+          else txt
+        spans += Span(SpanKind.Text, md, "", spans.length)
+      }
+      b.images.foreach { case (_, ext) =>
+        val id = s"img-${images.length}"
+        val filename = s"$id.$ext"
+        images += NormImage(id, filename, s"image/$ext", "")
+        spans += Span(SpanKind.Image, id, filename, spans.length)
+      }
+    }
+    Extracted(spans.toSeq, images.toSeq)
+  }
+
+  // -------------------------------------------------------------------- utils
+
+  private def attr(tagInner: String, name: String): Option[String] = {
+    val re = ("""(?i)\b""" + name + """\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""").r
+    re.findFirstMatchIn(tagInner).map { m =>
+      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(4))
+    }
+  }
+
+  private def collapseWs(s: String): String =
+    s.replaceAll("\\s+", " ").trim
+
+  private def decodeEntities(s: String): String =
+    s.replace("&nbsp;", " ")
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
+}
