@@ -63,8 +63,10 @@ object PdfLayout {
     def sectionOf(y: Double): Int = separatorYs.count(_ <= y)
     val bySection: Map[Int, Seq[PdfElement]] =
       columnar.groupBy(e => sectionOf(e.y))
+    // a separator heads the section it opens: sectionOf counts itself, so its
+    // own section index equals that of the elements below it
     val fullBySection: Map[Int, Seq[PdfElement]] =
-      full.groupBy(e => sectionOf(e.y) - 1) // a separator heads the section it opens
+      full.groupBy(e => sectionOf(e.y))
 
     (0 to separatorYs.length).flatMap { sec =>
       val heads = fullBySection.getOrElse(sec, Nil).sortBy(e => (e.y, e.x))

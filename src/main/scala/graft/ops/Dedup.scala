@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * Catalyst plans (higher-order functions + joins) so Catalyst handles
+  * pushdown, AQE handles skew, and nothing materializes on the driver.
+  *
+  * Scale notes (100 TB): every variant is shuffle-bounded by design —
+  * exact dedup shuffles one 64-hex key per doc; MinHash/LSH shuffles
+  * (bands × docs) small keys and only verifies within buckets; the
+  * inverted-index Jaccard join shuffles (doc, shingle) pairs, pruned by
+  * a min-length predicate before the join.
+  */
+object Dedup {
+
+  /** Normalized word array — shared tokenization for shingles/Jaccard. */
+  def words(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
+
+  /** Word n-gram shingles via HOFs: slice a sliding window over the word
+    * array. Empty when the doc has fewer than n words.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: group by content hash, keep the lexicographically-first
+    * doc_id as canonical. One shuffle on a 64-char key; map-side partial agg
+    * shrinks it. Output: (hash, canonical_doc_id, n_dups).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** Survivors of exact dedup: one row per distinct content. */
+  def exactSurvivors(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** K-permutation MinHash signature over word shingles. One xxhash64 per
+    * shingle, then K affine rehashes ((a_k·h + b_k) mod p) — the standard
+    * one-hash trick (Broder 1997 lineage, public). All HOFs, codegen'd.
+    */
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
+    // p = 2^31-1 keeps (h mod p)·(a mod p) < 2^62: no long overflow under
+    // Spark 4's default ANSI arithmetic
+    val p = 2147483647L
+    val base = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(p)))
+    transform(sequence(lit(0), lit(k - 1)), kk => {
+      val a = pmod(xxhash64(concat(lit("a"), kk)), lit(p - 1)) + 1
+      val b = pmod(xxhash64(concat(lit("b"), kk)), lit(p))
+      coalesce(array_min(transform(base, h => pmod(h * a + b, lit(p)))), lit(-1L))
+    })
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature (bands × rowsPerBand = k),
+    * bucket-join on (band index, band hash), verify candidates with exact
+    * Jaccard over shingle sets, keep pairs ≥ threshold.
+    *
+    * Shuffle profile: explode emits `bands` rows/doc with a (int, long) key;
+    * the self-join is an equi-join on that key; verification happens only
+    * inside buckets. No O(n²) stage anywhere.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val withSig = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"),
+      minhashSignature(col(textCol), k, shingleN).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+      ).as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard over two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    round(when(union === 0, 0.0).otherwise(inter / union), 6)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash from word tokens (Charikar 2002 lineage, public):
+    * token hashes via built-in xxhash64, then the native [[graft.functions.SimHash64]]
+    * Catalyst expression — one codegen'd pass instead of 64 nested aggregates.
+    * Cost O(64·tokens), bounded by the `maxTokens` prefix.
+    */
+  def simhash(text: Column, maxTokens: Int = 128): Column = {
+    val toks = slice(words(text), 1, maxTokens)
+    graft.functions.SimHash64.simhash64(transform(toks, t => xxhash64(t)))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
+    * chunks; docs sharing any chunk are candidates (catches hamming distance
+    * ≤ 3 with high probability); verify by full hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withSig = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- inverted-index Jaccard
+
+  /** N-gram Jaccard similarity pairs via an inverted-index join (SQL-exact,
+    * oracle-checkable): explode distinct shingles, equi-join on shingle,
+    * count common, Jaccard from per-doc distinct counts. The join key is the
+    * shingle — frequency-skewed shingles are the classic hot key, so AQE skew
+    * join handles the tail (and a stopword-shingle filter would cap it).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val l = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val r = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+    l.join(r, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ----------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicates above a threshold, LSH-bucketed by
+    * random-hyperplane sign bits (deterministic hyperplanes from xxhash64 of
+    * (plane, dim)). Docs sharing a sign-bucket are candidates; cosine
+    * verifies. `planes` controls the recall/cost trade.
+    */
+  def embeddingNearDups(
+      vecs: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val signBits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val dot = aggregate(zip_with(v,
+        transform(sequence(lit(0), size(v) - 1),
+          d => (pmod(xxhash64(concat(lit("h"), p, lit("_"), d)), lit(2000L)).cast("double") - 1000.0) / 1000.0),
+        (x, h) => x.cast("double") * h), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    })
+    val bucketed = vecs.select(col(idCol).as("id"), v.as("vec"),
+      concat_ws("", signBits).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

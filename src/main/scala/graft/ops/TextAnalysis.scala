@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, built
+  * entirely from codegen'd built-in expressions (no UDFs) so they stay inside
+  * whole-stage codegen and push down cleanly.
+  *
+  * All operators take the `documents` table shape
+  * `(doc_id, text, lang, source, n_chars)`.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (the deterministic stand-in for a tokenizer —
+    * matches the DuckDB oracle exactly).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword estimate: word-chunks of ≤4 chars + digit runs +
+    * punctuation, counted via regexp — an upper-bound proxy for BPE vocab
+    * tokenization that needs no model file.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\p{L}{1,4}|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0)))
+
+  /** Quality-score features: length, alpha ratio, punctuation ratio, mean
+    * word length, uppercase ratio — the standard boilerplate/quality signals
+    * (C4/Gopher-style heuristics from public literature).
+    */
+  def withQualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(t, "[^\\p{L}]", "")) / greatest(len, lit(1.0)), 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, "[^.,;:!?'\"()\\-]", "")) / greatest(len, lit(1.0)), 4))
+      .withColumn("upper_ratio",
+        round(length(regexp_replace(t, "[^A-Z]", "")) / greatest(len, lit(1.0)), 4))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")) / greatest(tokenCount(t).cast("double"), lit(1.0)), 4))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with high
+    * alpha ratio and sane punctuation. Deterministic, codegen-only.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")) / greatest(len, lit(1.0))
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    round(greatest(least(alpha * lit(0.7) + lenScore * lit(0.3), lit(1.0)), lit(0.0)), 4)
+  }
+
+  /** Stopword-hit language ID: counts hits against small built-in stopword
+    * sets (n-gram-heuristic class of language ID; sets chosen to be
+    * SQL-expressible for the oracle). Returns the argmax language or 'und'.
+    */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "una", "para", "con", "por"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val pattern = words.mkString("(?i)\\b(", "|", ")\\b")
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+  }
+
+  def withLanguageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withHits = StopwordSets.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"hits_$lang", stopwordHits(t, words))
+    }
+    val langs = StopwordSets.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), lang) =>
+      val h = col(s"hits_$lang")
+      (when(h > bh, lit(lang)).otherwise(bl), greatest(h, bh))
+    }
+    withHits.withColumn("lang_pred", best._1)
+  }
+
+  /** Rolling polynomial document fingerprint (Rabin-Karp style, base 31 mod
+    * 2^31-1 over code points of the whitespace-normalized text prefix) —
+    * cheap near-exact identity for resumable dedup ledgers. Implemented with
+    * `aggregate`/`transform` higher-order functions: codegen'd, no UDF. The
+    * prefix bound (default 256 chars) keeps per-row cost constant at scale.
+    */
+  def fingerprint(text: Column, prefixLen: Int = 256): Column = {
+    val s = substring(regexp_replace(lower(text), "\\s+", " "), 1, prefixLen)
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long")),
+      lit(0L),
+      (h, c) => pmod(h * lit(31L) + c, lit(2147483647L)))
+  }
+
+  /** SHA-256 content hash for exact dedup (matches DuckDB's sha256). */
+  def contentHash(text: Column): Column = sha2(text, 256)
+}

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import graft.chunk.Chunkers
+import graft.extract.{HtmlExtract, Normalize, PdfLayout}
+import graft.md.Markdown
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extraction result row: the doc plus an error slot so partition lineage can
+  * aggregate failures without killing the job (mirrors docler's per-file
+  * error capture, converters/dir_converter.py:154-157).
+  */
+final case class ExtractOut(
+    doc_id: String,
+    spans: Seq[Span],
+    mime_type: String,
+    page_count: Int,
+    failure: String)
+
+/** The end-to-end pipeline: route → extract → (chunk). Extraction is
+  * row-wise (`Dataset.map` over typed rows — the UDTF-free path that keeps
+  * the stage embarrassingly parallel); the only shuffles are the explicit
+  * pre-extract repartition (uniform task sizing before the heavy
+  * tokenize/classify map, per the north rule) and whatever downstream
+  * aggregation the caller adds.
+  */
+object Pipeline {
+
+  /** Standard session config for this engine. `cores` drives both parallelism
+    * and shuffle partitions (never the 200 default in local mode).
+    */
+  def session(master: String, cores: Int, appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** Pure per-row extraction: route by payload kind to the matching stage.
+    * Never throws — failures surface in the `failure` column for lineage.
+    */
+  def extractOne(r: RawDoc): ExtractOut =
+    try {
+      val spans: Seq[Span] = r.payload_kind match {
+        case "html" => HtmlExtract.extract(r.raw).spans
+        case "pdf_layout" => PdfLayout.layout(r.elements).spans
+        case k => Normalize.dialect(k, r.raw, r.pages).spans
+      }
+      ExtractOut(r.doc_id, spans, r.mime_type, Markdown.pageCount(spans), "")
+    } catch {
+      case e: Exception =>
+        ExtractOut(r.doc_id, Nil, r.mime_type, 0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** The extract stage. `repartitionTo` forces uniform task sizing before the
+    * heavy map — on a cluster this is the explicit shuffle that breaks up
+    * whatever clustering the input files impose. Salting by doc hash keeps
+    * long-doc clusters from landing in one task (round-robin repartition on a
+    * salt column, SURVEY §7.4).
+    */
+  def extract(raw: Dataset[RawDoc], repartitionTo: Int = 0): Dataset[ExtractOut] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val staged =
+      if (repartitionTo > 0)
+        raw.repartition(repartitionTo, pmod(xxhash64(col("doc_id")), lit(repartitionTo * 4)))
+      else raw
+    staged.map(extractOne)
+  }
+
+  def toDocs(out: Dataset[ExtractOut]): Dataset[Doc] = {
+    val spark = out.sparkSession
+    import spark.implicits._
+    out.filter(_.failure.isEmpty).map(o =>
+      Doc(o.doc_id, o.spans, mime_type = o.mime_type, page_count = o.page_count))
+  }
+
+  /** Chunk stage: 1 doc → N chunk rows (`flatMap`, the Generator analog). */
+  def chunk(docs: Dataset[Doc], maxChunkSize: Int = 1500, overlap: Int = 50): Dataset[Chunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => Chunkers.markdownChunks(d, maxChunkSize, overlap))
+  }
+
+  def chunkTokenAware(docs: Dataset[Doc], maxTokens: Int = 4000, overlapLines: Int = 20): Dataset[Chunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => Chunkers.tokenAwareChunks(d, maxTokens, overlapLines))
+  }
+
+  /** Per-partition lineage rows (north rule: input snapshot id, partition id,
+    * doc count, span count, failure list) — computed with a plain groupBy on
+    * `spark_partition_id()` so it is one partial-aggregated shuffle, not a
+    * custom accumulator.
+    */
+  def lineage(out: Dataset[ExtractOut], snapshotId: Long): DataFrame =
+    out.toDF()
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy(col("partition_id"))
+      .agg(
+        count(when(col("failure") === "", 1)).as("doc_count"),
+        coalesce(sum(size(col("spans"))), lit(0L)).as("span_count"),
+        filter(collect_list(col("failure")), f => f =!= "").as("failures"))
+      .select(lit(snapshotId).as("snapshot_id"), col("partition_id"),
+        col("doc_count"), col("span_count"), col("failures"))
+}
+
+/** Snapshot-aware resume: drop doc_ids already committed to the output table
+  * (the reference's idempotency guard, annotators/ai_image_annotator.py:96-97,
+  * promoted to an anti-join per the north rule).
+  */
+object Resume {
+  /** `input LEFT ANTI JOIN processed ON doc_id`. The processed side is just
+    * doc_ids — small relative to payloads — so Catalyst broadcasts it when it
+    * fits (AQE decides); at 10^12-doc scale it degrades gracefully to a
+    * shuffled hash anti-join on the same key the output table is partitioned
+    * by.
+    */
+  def filterProcessed(input: DataFrame, processedDocIds: DataFrame): DataFrame =
+    input.join(processedDocIds.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+
+  def processedIds(spark: SparkSession, outTableDir: String): Option[DataFrame] =
+    graft.io.TableIO.read(spark, outTableDir).map(_.select("doc_id"))
+}

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB against the same parquet tables and compare (rows, schema names,
+value hash) with the Spark result parquet written by graft.Verify.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, duckdb, hashlib
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(glob.glob(f"{out}/*/")):
+    q = name.rstrip("/").split("/")[-1]
+    spark_files = glob.glob(f"{name}/*.parquet")
+    if not spark_files:
+        print(f"{q:24s} NO-OUTPUT"); fails += 1; continue
+    sdf = con.sql(f"SELECT * FROM '{name}/*.parquet'").df()
+    nrows = len(sdf)
+    if q not in oracles:
+        status = "rows-only" + (" OK" if nrows > 0 else " EMPTY!")
+        if nrows == 0: fails += 1
+        print(f"{q:24s} {status:14s} rows={nrows}")
+        continue
+    try:
+        odf = con.sql(oracles[q]).df()
+    except Exception as e:
+        print(f"{q:24s} ORACLE-ERROR {e}"); fails += 1; continue
+    def canon(df):
+        df = df[sorted(df.columns)]
+        rows = sorted(df.astype(str).itertuples(index=False, name=None))
+        return hashlib.sha256(str(rows).encode()).hexdigest()[:12], list(df.columns), len(df)
+    sh, scols, sn = canon(sdf)
+    oh, ocols, on = canon(odf)
+    ok = (sh == oh and scols == ocols and sn == on)
+    if not ok:
+        fails += 1
+        print(f"{q:24s} MISMATCH rows {sn}vs{on} cols {scols}vs{ocols} hash {sh}vs{oh}")
+        if scols == ocols and sn == on:
+            merged = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True).compare(
+                odf.sort_values(sorted(odf.columns)).reset_index(drop=True))
+            print(merged.head(5))
+    else:
+        print(f"{q:24s} ORACLE-OK rows={sn}")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
