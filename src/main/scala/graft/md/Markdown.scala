@@ -71,22 +71,25 @@ object Markdown {
         buf.clear()
       }
     }
+    // cheap prefix prechecks keep the per-line regexes off the hot path:
+    // ordinary text lines (the vast majority) never touch a regex
     lines.foreach { line =>
-      line match {
-        case PageBreakRe(n) =>
-          flushText()
-          out += pageBreakSpan(n.toInt, out.length)
-        case ChunkBoundaryRe(payload) =>
-          flushText()
-          out += Span(SpanKind.ChunkBoundary, payload, "", out.length)
-        case ImageLineRe(id, file) =>
-          flushText()
-          out += Span(SpanKind.Image, id, file, out.length)
-        case blank if blank.trim.isEmpty =>
-          flushText()
-        case text =>
-          buf += text
-      }
+      if (line.isEmpty || line.trim.isEmpty) flushText()
+      else if (line.charAt(0) == '<' && line.startsWith("<!--")) {
+        line match {
+          case PageBreakRe(n) =>
+            flushText(); out += pageBreakSpan(n.toInt, out.length)
+          case ChunkBoundaryRe(payload) =>
+            flushText(); out += Span(SpanKind.ChunkBoundary, payload, "", out.length)
+          case _ => buf += line
+        }
+      } else if (line.charAt(0) == '!' && line.startsWith("![")) {
+        line match {
+          case ImageLineRe(id, file) =>
+            flushText(); out += Span(SpanKind.Image, id, file, out.length)
+          case _ => buf += line
+        }
+      } else buf += line
     }
     flushText()
     out.toSeq

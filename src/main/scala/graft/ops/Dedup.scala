@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Normalized text (lowercase, punctuation → space) — the codegen'd builtin
+    * prefix shared by all tokenizations.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "))
+
   /** Normalized word array — shared tokenization for shingles/Jaccard. */
-  def words(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
+  def words(text: Column): Column = split(normalized(text), "\\s+")
 
   /** Word n-gram shingles via HOFs: slice a sliding window over the word
     * array. Empty when the doc has fewer than n words.
@@ -53,17 +58,14 @@ object Dedup {
     * shingle, then K affine rehashes ((a_k·h + b_k) mod p) — the standard
     * one-hash trick (Broder 1997 lineage, public). All HOFs, codegen'd.
     */
-  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
-    // p = 2^31-1 keeps (h mod p)·(a mod p) < 2^62: no long overflow under
-    // Spark 4's default ANSI arithmetic
-    val p = 2147483647L
-    val base = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(p)))
-    transform(sequence(lit(0), lit(k - 1)), kk => {
-      val a = pmod(xxhash64(concat(lit("a"), kk)), lit(p - 1)) + 1
-      val b = pmod(xxhash64(concat(lit("b"), kk)), lit(p))
-      coalesce(array_min(transform(base, h => pmod(h * a + b, lit(p)))), lit(-1L))
-    })
-  }
+  /** Hashed shingles on the native fast path (no shingle strings
+    * materialized) — for sketching ops where only hashes matter.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleHashes.shingleHashes(normalized(text), n)
+
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
+    graft.functions.MinHashSig.minhashSig(shingleHashes(text, shingleN), k)
 
   /** MinHash LSH near-dup pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join on (band index, band hash), verify candidates with exact
@@ -83,22 +85,30 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val withSig = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"),
-      minhashSignature(col(textCol), k, shingleN).as("sig"))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
-      ).as(Seq("band", "band_hash")))
-    val l = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
+    // candidate generation carries ONLY (band keys, id): the shingle arrays
+    // never ride the banded self-join (they did in a first cut — 18× slower:
+    // every false candidate shipped two ~170-element string arrays)
+    val banded = docs
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+        ).as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
+      .select("id_a", "id_b").distinct()
+    // verify: join the deduped candidates back to the (hashed) shingle sets
+    // once — Jaccard over hash sets equals Jaccard over string sets up to
+    // negligible 64-bit collisions
+    val sh = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol), shingleN)).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -116,10 +126,9 @@ object Dedup {
     * Catalyst expression — one codegen'd pass instead of 64 nested aggregates.
     * Cost O(64·tokens), bounded by the `maxTokens` prefix.
     */
-  def simhash(text: Column, maxTokens: Int = 128): Column = {
-    val toks = slice(words(text), 1, maxTokens)
-    graft.functions.SimHash64.simhash64(transform(toks, t => xxhash64(t)))
-  }
+  def simhash(text: Column, maxTokens: Int = 128): Column =
+    graft.functions.SimHash64.simhash64(
+      graft.functions.ShingleHashes.shingleHashes(normalized(text), 1, maxTokens))
 
   /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
     * chunks; docs sharing any chunk are candidates (catches hamming distance
@@ -171,9 +180,10 @@ object Dedup {
   // ----------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates above a threshold, LSH-bucketed by
-    * random-hyperplane sign bits (deterministic hyperplanes from xxhash64 of
-    * (plane, dim)). Docs sharing a sign-bucket are candidates; cosine
-    * verifies. `planes` controls the recall/cost trade.
+    * random-hyperplane sign bits (native [[graft.functions.HyperplaneBucket]]
+    * expression; deterministic hyperplanes from splitmix64(plane, dim)).
+    * Vectors sharing a sign-bucket are candidates; cosine verifies. `planes`
+    * controls the recall/cost trade.
     */
   def embeddingNearDups(
       vecs: DataFrame,
@@ -182,15 +192,8 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
-    val signBits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dot = aggregate(zip_with(v,
-        transform(sequence(lit(0), size(v) - 1),
-          d => (pmod(xxhash64(concat(lit("h"), p, lit("_"), d)), lit(2000L)).cast("double") - 1000.0) / 1000.0),
-        (x, h) => x.cast("double") * h), lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1)).otherwise(lit(0))
-    })
     val bucketed = vecs.select(col(idCol).as("id"), v.as("vec"),
-      concat_ws("", signBits).as("bucket"))
+      graft.functions.HyperplaneBucket.hyperplaneBucket(v, planes).as("bucket"))
     val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))

@@ -73,11 +73,19 @@ object Pipeline {
     staged.map(extractOne)
   }
 
+  /** Successful docs as a DataFrame — a pure projection (filter + lit
+    * columns), NO re-encode: a second typed map here would deserialize and
+    * re-serialize every span (measured ~25% of stage time).
+    */
+  def toDocsDF(out: Dataset[ExtractOut]): DataFrame =
+    out.toDF().filter(col("failure") === "")
+      .select(col("doc_id"), col("spans"), lit("").as("title"),
+        lit("").as("source_path"), col("mime_type"), col("page_count"))
+
   def toDocs(out: Dataset[ExtractOut]): Dataset[Doc] = {
     val spark = out.sparkSession
     import spark.implicits._
-    out.filter(_.failure.isEmpty).map(o =>
-      Doc(o.doc_id, o.spans, mime_type = o.mime_type, page_count = o.page_count))
+    toDocsDF(out).as[Doc]
   }
 
   /** Chunk stage: 1 doc → N chunk rows (`flatMap`, the Generator analog). */
