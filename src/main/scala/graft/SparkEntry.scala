@@ -2,7 +2,7 @@ package graft
 
 import graft.io.SyntheticDocs
 import graft.model._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DocOps, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Pipeline, SpanOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -170,6 +170,46 @@ object SparkEntry {
         .agg(sum(col("doc_count")).as("docs"), sum(col("span_count")).as("spans"),
           sum(size(col("failures"))).as("failures"))
     }),
+    // ------------------------------------------------ doc-level operators
+    "q_numbered_lines" -> ((s, dir) =>
+      DocOps.numberedLines(tbl(s, dir, "documents").filter(col("doc_id") < 20))
+        .select("doc_id", "line_idx", "numbered")),
+    "q_cost" -> ((s, dir) =>
+      DocOps.withCost(
+        tbl(s, dir, "documents")
+          .withColumn("provider",
+            element_at(typedlit(Seq("azure", "upstage", "llamaparse", "datalab")),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+          .withColumn("page_count", (floor(col("n_chars") / 500) + 1).cast("int")),
+        col("provider"), col("page_count"))
+        .select("doc_id", "provider", "page_count", "cost_usd")),
+    "q_mime_guess" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("path", concat(lit("docs/f"), col("doc_id"),
+          element_at(typedlit(Seq(".pdf", ".html", ".png", ".weird")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+        .select(col("doc_id"), DocOps.guessMime(col("path")).as("mime"))),
+    "q_export" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir)))
+      DocOps.exportRows(docs).select(col("doc_id"), col("filename"),
+        length(col("content")).as("content_len"))
+    }),
+    "q_files_list" -> ((s, dir) => {
+      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir)))
+      DocOps.filesList(docs).select(col("doc_id"), size(col("files")).as("n_files"))
+    }),
+    "q_verify_join" -> ((s, dir) => {
+      // self-verification: pipeline output vs the generator's expected spans
+      import s.implicits._
+      val n = tbl(s, dir, "documents").count() * 4
+      val expected = s.range(n)
+        .map { i => val g = SyntheticDocs.generate(42L, i); Doc(g.raw.doc_id, g.expected) }
+        .toDF()
+      val ours = Pipeline.toDocsDF(Pipeline.extract(rawDocs(s, dir)))
+      DocOps.verifyJoin(ours, expected)
+        .groupBy(col("matches")).agg(count(lit(1)).as("n_docs"))
+    }),
     // ------------------------------------------------ multimodal plumbing
     "q_media_features" -> ((s, dir) => {
       val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir))).toDF()
@@ -288,6 +328,27 @@ object SparkEntry {
         |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |GROUP BY 1, 2, a.n_sh, b.n_sh
         |HAVING round(count(*) / (CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE)), 6) >= 0.18""".stripMargin,
+    "q_numbered_lines" ->
+      """SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(string_split_regex(text, '\n')))) - 1 AS INT) AS line_idx,
+        |  printf('%5d | %s',
+        |    unnest(generate_series(1, len(string_split_regex(text, '\n')))),
+        |    unnest(string_split_regex(text, '\n'))) AS numbered
+        |FROM documents WHERE doc_id < 20""".stripMargin,
+    "q_cost" ->
+      """SELECT doc_id,
+        |  ['azure','upstage','llamaparse','datalab'][CAST(doc_id % 4 + 1 AS INT)] AS provider,
+        |  CAST(floor(n_chars / 500) + 1 AS INT) AS page_count,
+        |  round(CASE ['azure','upstage','llamaparse','datalab'][CAST(doc_id % 4 + 1 AS INT)]
+        |          WHEN 'azure' THEN 0.00958 WHEN 'upstage' THEN 0.01
+        |          WHEN 'llamaparse' THEN 0.0045 WHEN 'datalab' THEN 0.0015 END
+        |        * CAST(floor(n_chars / 500) + 1 AS INT), 6) AS cost_usd
+        |FROM documents""".stripMargin,
+    "q_mime_guess" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'text/html'
+        |       WHEN 2 THEN 'image/png' ELSE 'application/octet-stream' END AS mime
+        |FROM documents""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),

@@ -101,4 +101,23 @@ object PdfLayout {
     * on one visual line still group together and sort left→right.
     */
   private def lineBucket(y: Double): Double = math.floor(y / 4.0) * 4.0
+
+  /** Per-page dimensions in points (width, height from element extents). */
+  final case class PageDims(page: Int, width: Double, height: Double)
+
+  /** Page metadata from positioned elements — the `get_pdf_info` analog
+    * (pdf_utils.py:187-256): page count + per-page dims; encryption is not
+    * representable in the element model (always false).
+    */
+  final case class PageMeta(
+      page_count: Int,
+      is_encrypted: Boolean,
+      page_dimensions: Seq[PageDims])
+
+  def pageMetadata(elements: Seq[PdfElement]): PageMeta = {
+    val dims = elements.groupBy(_.page).toSeq.sortBy(_._1).map { case (p, es) =>
+      PageDims(p, es.map(e => e.x + e.w).max, es.map(e => e.y + e.h).max)
+    }
+    PageMeta(dims.length, is_encrypted = false, dims)
+  }
 }

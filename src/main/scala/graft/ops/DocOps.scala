@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.md.Markdown
+import graft.model.{Chunk, Doc, Span, SpanKind}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining document-level operators from the SURVEY §2 inventory that are
+  * not part of the core extract/chunk stages.
+  */
+object DocOps {
+
+  // ----------------------------------------------------------- MIME registry
+
+  /** Extension → MIME map (subset mirroring the reference's constant table,
+    * mime_types.py:124-166). Broadcast-friendly: tiny immutable map, used via
+    * a literal map column so Catalyst constant-folds lookups.
+    */
+  val ExtToMime: Map[String, String] = Map(
+    "txt" -> "text/plain", "md" -> "text/markdown", "pdf" -> "application/pdf",
+    "html" -> "text/html", "htm" -> "text/html",
+    "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "bmp" -> "image/bmp", "gif" -> "image/gif", "jpg" -> "image/jpeg",
+    "jpeg" -> "image/jpeg", "png" -> "image/png", "tiff" -> "image/tiff",
+    "tif" -> "image/tiff", "webp" -> "image/webp", "svg" -> "image/svg+xml",
+    "epub" -> "application/epub+zip", "rst" -> "text/x-rst", "org" -> "text/org")
+
+  private lazy val mimeMapCol: Column =
+    typedlit(ExtToMime)
+
+  /** Guess MIME from a path column (mimetypes.guess_type analog,
+    * converters/base.py:269): literal-map lookup, codegen'd, no UDF.
+    */
+  def guessMime(path: Column): Column =
+    coalesce(
+      element_at(mimeMapCol, lower(regexp_extract(path, "\\.(\\w+)$", 1))),
+      lit("application/octet-stream"))
+
+  /** MIME support filter (base.py:391-398): drop rows whose MIME is outside
+    * the supported set — a plain pushable predicate.
+    */
+  def filterSupported(df: DataFrame, supported: Set[String], mimeCol: String = "mime_type"): DataFrame =
+    df.filter(col(mimeCol).isInCollection(supported))
+
+  // -------------------------------------------------------- cost aggregation
+
+  /** Per-provider price/page constants (reference provider files; see
+    * BASELINE.md table).
+    */
+  val PricePerPage: Map[String, Double] = Map(
+    "azure" -> 0.00958, "upstage" -> 0.01, "llamaparse" -> 0.0045,
+    "datalab" -> 0.0015, "datalab_llm" -> 0.003)
+
+  /** Conversion-cost metadata: price_per_page × page_count
+    * (converters/base.py:214-223) as a scalar expression over a broadcast
+    * literal map.
+    */
+  def withCost(docs: DataFrame, providerCol: Column, pageCountCol: Column): DataFrame =
+    docs.withColumn("cost_usd",
+      round(coalesce(element_at(typedlit(PricePerPage), providerCol), lit(0.0)) *
+        pageCountCol, 6))
+
+  // ------------------------------------------------------- numbered text
+
+  /** `NNN | line` numbering (utils.py:142-145) — relational form:
+    * posexplode(split()) + format_string, fully codegen'd.
+    */
+  def numberedLines(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("*"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("numbered", format_string("%5d | %s", col("line_idx") + 1, col("line")))
+      .drop("line")
+
+  /** Whole-document numbered text as one string (for LLM-prompt shaping). */
+  def addLineNumbers(text: String): String =
+    text.split("\n", -1).zipWithIndex
+      .map { case (l, i) => f"${i + 1}%5d | $l" }.mkString("\n")
+
+  // ------------------------------------------------------- corrections
+
+  /** A line correction (processors/ai_processor.py:27-36). */
+  final case class LineCorrection(line_number: Int, corrected: String)
+
+  /** Apply corrections in reverse line order, first-wins per line
+    * (ai_processor.py:39-58). Pure; used inside a typed map.
+    *
+    * @return (corrected text, 0-based indices corrected)
+    */
+  def applyCorrections(text: String, corrections: Seq[LineCorrection]): (String, Set[Int]) = {
+    val lines = text.split("\n", -1).toBuffer
+    val done = scala.collection.mutable.Set.empty[Int]
+    corrections.sortBy(-_.line_number).foreach { c =>
+      val idx = c.line_number - 1
+      if (idx >= 0 && idx < lines.length && !done.contains(idx)) {
+        lines(idx) = c.corrected
+        done += idx
+      }
+    }
+    (lines.mkString("\n"), done.toSet)
+  }
+
+  // ------------------------------------------------- line-range chunk
+
+  /** Materialize a chunk from a 1-based inclusive line range — the
+    * AIChunker's chunk extractor (ai_chunker/utils.py:22-41); image
+    * assignment by filename-substring, like the reference.
+    */
+  def lineRangeChunk(
+      doc: Doc,
+      startRow: Int,
+      endRow: Int,
+      chunkIdx: Int,
+      mediaFiles: Seq[String] = Nil): Chunk = {
+    val content = Markdown.render(doc.spans).stripSuffix("\n")
+    val lines = content.split("\n", -1)
+    val text = lines.slice(math.max(0, startRow - 1), math.min(lines.length, endRow)).mkString("\n")
+    val media = if (mediaFiles.nonEmpty) mediaFiles
+      else doc.spans.filter(_.kind == SpanKind.Image).map(_.media_ref)
+    Chunk(doc.doc_id, chunkIdx, text,
+      media.filter(f => f.nonEmpty && text.contains(f)),
+      start_line = startRow, end_line = endRow)
+  }
+
+  // ---------------------------------------------------------- export sink
+
+  /** Directory-export sink rows: `(doc_id, filename, content)` — one
+    * `document.md` (frontmatter + canonical markdown) plus one row per image
+    * file, mirroring `Document.export_to_directory` (golden shape
+    * test_output.ambr:2-15). The files_list is sorted like the reference
+    * snapshot (tests/test_output.py:47).
+    */
+  def exportRows(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val md = Markdown.renderWithFrontmatter(d.spans,
+        title = if (d.title.nonEmpty) d.title else d.doc_id,
+        sourcePath = d.source_path, mimeType = d.mime_type,
+        pageCount = Markdown.pageCount(d.spans))
+      val images = d.spans.filter(_.kind == SpanKind.Image)
+        .map(s => (d.doc_id, s.media_ref, ""))
+      ((d.doc_id, "document.md", md) +: images).sortBy(_._2)
+    }.toDF("doc_id", "filename", "content")
+  }
+
+  /** Sorted files_list per doc (the snapshot's second assertion). */
+  def filesList(docs: Dataset[Doc]): DataFrame =
+    exportRows(docs).groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("filename"))).as("files"))
+
+  // ------------------------------------------------- verification join
+
+  /** Golden-fixture verification join: per-doc span-sequence equality
+    * (the reference's snapshot compare, tests/test_output.py:38-49, as a
+    * relational op). Output: (doc_id, matches, ours_n, golden_n).
+    */
+  def verifyJoin(ours: DataFrame, golden: DataFrame): DataFrame =
+    ours.select(col("doc_id"), col("spans").as("ours"))
+      .join(golden.select(col("doc_id"), col("spans").as("golden")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (col("ours").isNotNull && col("golden").isNotNull &&
+          col("ours") === col("golden")).as("matches"),
+        coalesce(size(col("ours")), lit(-1)).as("ours_n"),
+        coalesce(size(col("golden")), lit(-1)).as("golden_n"))
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.extract.PdfLayout
+import graft.model._
+import graft.ops.DocOps
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DocOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
+
+  test("applyCorrections: reverse order, first-wins per line, bounds-checked") {
+    val text = "line one\nline two\nline three"
+    val (out, idx) = DocOps.applyCorrections(text, Seq(
+      DocOps.LineCorrection(2, "LINE TWO"),
+      DocOps.LineCorrection(2, "ignored duplicate"),
+      DocOps.LineCorrection(99, "out of range"),
+      DocOps.LineCorrection(1, "LINE ONE")))
+    assert(out == "LINE ONE\nLINE TWO\nline three")
+    assert(idx == Set(0, 1))
+  }
+
+  test("addLineNumbers matches the reference format") {
+    assert(DocOps.addLineNumbers("a\nb") == "    1 | a\n    2 | b")
+  }
+
+  test("lineRangeChunk materializes 1-based inclusive ranges with images") {
+    val doc = Doc("d", Seq(
+      Span(SpanKind.Text, "alpha", "", 0),
+      Span(SpanKind.Image, "img-0", "img-0.png", 1),
+      Span(SpanKind.Text, "omega", "", 2)))
+    // rendered: alpha\n\n![img-0](img-0.png)\n\nomega  → 5 lines
+    val c = DocOps.lineRangeChunk(doc, 3, 5, 0)
+    assert(c.content == "![img-0](img-0.png)\n\nomega")
+    assert(c.media_refs == Seq("img-0.png"))
+    val c2 = DocOps.lineRangeChunk(doc, 1, 1, 1)
+    assert(c2.content == "alpha" && c2.media_refs.isEmpty)
+  }
+
+  test("guessMime resolves known extensions and falls back") {
+    import spark.implicits._
+    val got = Seq("a/b.PDF", "x.html", "y.jpeg", "z.weird", "noext")
+      .toDF("p").select(DocOps.guessMime(col("p"))).as[String].collect()
+    assert(got.toSeq == Seq("application/pdf", "text/html", "image/jpeg",
+      "application/octet-stream", "application/octet-stream"))
+  }
+
+  test("withCost multiplies the provider price by page count") {
+    import spark.implicits._
+    val df = Seq(("azure", 2), ("datalab", 10), ("unknown", 3)).toDF("prov", "pages")
+    val got = DocOps.withCost(df, col("prov"), col("pages"))
+      .select("cost_usd").as[Double].collect()
+    assert(got.toSeq == Seq(0.01916, 0.015, 0.0))
+  }
+
+  test("exportRows produce the golden-shaped document.md plus image files") {
+    import spark.implicits._
+    val doc = Doc("d1", Seq(
+      graft.md.Markdown.pageBreakSpan(1, 0),
+      Span(SpanKind.Text, "# T", "", 1),
+      Span(SpanKind.Image, "img-0", "img-0.png", 2)),
+      title = "t", source_path = "s.pdf", mime_type = "application/pdf")
+    val rows = DocOps.exportRows(spark.createDataset(Seq(doc)))
+      .orderBy("filename").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("document.md", "img-0.png"))
+    val md = rows(0).getString(2)
+    assert(md.startsWith("---\ntitle: t\nsource_path: s.pdf\nmime_type: application/pdf\npage_count: 1\n---\n"))
+    assert(md.contains("""<!-- docler:page_break {"next_page":1} -->"""))
+    assert(md.contains("![img-0](img-0.png)"))
+    val files = DocOps.filesList(spark.createDataset(Seq(doc)))
+      .select("files").as[Seq[String]].collect().head
+    assert(files == Seq("document.md", "img-0.png"))
+  }
+
+  test("export markdown re-parses to the identical span stream (round trip)") {
+    import spark.implicits._
+    val gens = (0L until 40L).map(i => graft.io.SyntheticDocs.generate(seed = 21, i))
+    val docs = spark.createDataset(gens.map(g => Doc(g.raw.doc_id, g.expected)))
+    val mds = DocOps.exportRows(docs).filter(col("filename") === "document.md")
+      .select("doc_id", "content").as[(String, String)].collect().toMap
+    gens.foreach { g =>
+      assert(graft.md.Markdown.parse(mds(g.raw.doc_id)) == g.expected, g.raw.doc_id)
+    }
+  }
+
+  test("verifyJoin flags equal, differing and missing docs") {
+    import spark.implicits._
+    val a = Seq(
+      Doc("same", Seq(Span("text", "x", "", 0))),
+      Doc("diff", Seq(Span("text", "a", "", 0))),
+      Doc("only_ours", Seq(Span("text", "o", "", 0))))
+    val b = Seq(
+      Doc("same", Seq(Span("text", "x", "", 0))),
+      Doc("diff", Seq(Span("text", "b", "", 0))),
+      Doc("only_golden", Seq(Span("text", "g", "", 0))))
+    val out = DocOps.verifyJoin(
+      spark.createDataset(a).toDF(), spark.createDataset(b).toDF())
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("same" -> true, "diff" -> false,
+      "only_ours" -> false, "only_golden" -> false))
+  }
+
+  test("pageMetadata derives page count and dims from elements") {
+    val meta = PdfLayout.pageMetadata(Seq(
+      PdfElement(1, 0, 0, 100, 50, "text", "a"),
+      PdfElement(1, 50, 100, 100, 50, "text", "b"),
+      PdfElement(2, 0, 0, 200, 300, "text", "c")))
+    assert(meta.page_count == 2)
+    assert(!meta.is_encrypted)
+    assert(meta.page_dimensions == Seq(
+      PdfLayout.PageDims(1, 150.0, 150.0), PdfLayout.PageDims(2, 200.0, 300.0)))
+  }
+
+  test("numberedLines matches the reference projection") {
+    import spark.implicits._
+    val df = Seq((1L, "a\nbb")).toDF("doc_id", "text")
+    val got = DocOps.numberedLines(df).select("line_idx", "numbered")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((0, "    1 | a"), (1, "    2 | bb")))
+  }
+}
