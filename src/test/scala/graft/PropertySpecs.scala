@@ -1,0 +1,136 @@
+package graft
+
+import graft.chunk.Chunkers
+import graft.extract.HtmlExtract
+import graft.md.Markdown
+import graft.model.{Doc, Span, SpanKind}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property suites (run by sbt's native ScalaCheck support). */
+object MarkdownProps extends Properties("Markdown") {
+
+  private val word: Gen[String] = Gen.oneOf(
+    "lorem", "ipsum", "data", "spark", "span", "table", "row", "alpha",
+    "beta", "gamma", "query", "page", "chunk", "text42")
+
+  private val textLine: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  /** Canonical text block: 1-3 non-blank lines, none marker-shaped. */
+  private val textBlock: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, textLine)).map(_.mkString("\n"))
+
+  private val genSpans: Gen[List[Span]] = for {
+    n <- Gen.chooseNum(1, 25)
+    kinds <- Gen.listOfN(n, Gen.frequency(
+      6 -> SpanKind.Text, 2 -> SpanKind.PageBreak, 2 -> SpanKind.Image))
+    blocks <- Gen.listOfN(n, textBlock)
+  } yield {
+    var page = 0
+    var img = 0
+    kinds.zip(blocks).zipWithIndex.map {
+      case ((SpanKind.PageBreak, _), i) =>
+        page += 1; Markdown.pageBreakSpan(page, i)
+      case ((SpanKind.Image, _), i) =>
+        img += 1; Span(SpanKind.Image, s"img-${img - 1}", s"img-${img - 1}.png", i)
+      case ((_, b), i) => Span(SpanKind.Text, b, "", i)
+    }
+  }
+
+  property("render → parse round-trips any canonical span stream") =
+    Prop.forAll(genSpans) { spans =>
+      Markdown.parse(Markdown.render(spans)) == spans
+    }
+
+  property("pageCount equals the number of page-break spans (min 1)") =
+    Prop.forAll(genSpans) { spans =>
+      val n = spans.count(_.kind == SpanKind.PageBreak)
+      Markdown.pageCount(spans) == math.max(n, 1)
+    }
+
+  property("parse offsets are always contiguous from 0") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val spans = Markdown.parse(s)
+      spans.map(_.offset) == spans.indices
+    }
+}
+
+object ChunkerProps extends Properties("Chunkers") {
+
+  private val block: Gen[String] =
+    Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "words"))).map(_.mkString(" "))
+
+  private val genDoc: Gen[Doc] = for {
+    n <- Gen.chooseNum(1, 12)
+    blocks <- Gen.listOfN(n, block)
+    headers <- Gen.listOfN(n, Gen.oneOf(true, false, false))
+  } yield {
+    var img = 0
+    val spans = blocks.zip(headers).zipWithIndex.flatMap { case ((b, isH), i) =>
+      val t = if (isH) s"# Header $i" else b
+      Seq(Span(SpanKind.Text, t, "", 0))
+    }.zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+    Doc(s"doc-prop", spans)
+  }
+
+  property("every media_ref a chunk carries is referenced in its content") =
+    Prop.forAll(genDoc, Gen.chooseNum(60, 800)) { (doc, maxSize) =>
+      Chunkers.markdownChunks(doc, maxChunkSize = maxSize, chunkOverlap = 10)
+        .forall(c => c.media_refs.forall(r => c.content.contains(s"($r)")))
+    }
+
+  property("chunk indices are contiguous from 0") =
+    Prop.forAll(genDoc, Gen.chooseNum(60, 800)) { (doc, maxSize) =>
+      val idx = Chunkers.markdownChunks(doc, maxChunkSize = maxSize).map(_.chunk_index)
+      idx == idx.indices
+    }
+
+  property("token chunker line ranges cover the document without gaps beyond overlap") =
+    Prop.forAll(Gen.chooseNum(5, 400), Gen.chooseNum(40, 300)) { (nLines, budget) =>
+      val content = (1 to nLines).map(i => s"line $i content words").mkString("\n")
+      val doc = Doc("d", Seq(Span(SpanKind.Text, content, "", 0)))
+      val chunks = Chunkers.tokenAwareChunks(doc, maxTokensPerChunk = budget, chunkOverlapLines = 5)
+      val covered = chunks.flatMap(c => c.start_line to c.end_line).toSet
+      chunks.nonEmpty && (1 to nLines).forall(covered.contains)
+    }
+
+  property("countTokens is stable and additive-ish under concat with space") =
+    Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val s = Chunkers.countTokens(a + " " + b)
+      s == Chunkers.countTokens(a) + Chunkers.countTokens(b)
+    }
+}
+
+object HtmlFuzzProps extends Properties("HtmlExtract") {
+
+  private val tag: Gen[String] = Gen.oneOf(
+    "p", "div", "span", "a", "li", "ul", "table", "tr", "td", "h1", "h2",
+    "nav", "footer", "img", "script", "style", "b")
+
+  private val fragment: Gen[String] = Gen.frequency(
+    4 -> Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("text", "words", "here", "fish & chips", "<", "a&b"))).map(_.mkString(" ")),
+    2 -> tag.map(t => s"<$t>"),
+    2 -> tag.map(t => s"</$t>"),
+    1 -> tag.map(t => s"<$t class='x' href='/y'>"),
+    1 -> Gen.const("<!-- comment -->"),
+    1 -> Gen.const("<img src='a.png'>"))
+
+  /** Malformed tag soup must never crash and must stay deterministic. */
+  property("never crashes on malformed tag soup; deterministic; ordered offsets") =
+    Prop.forAll(Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, fragment))) { frags =>
+      val html = frags.mkString(" ")
+      val a = HtmlExtract.extract(html)
+      val b = HtmlExtract.extract(html)
+      a == b && a.spans.map(_.offset) == a.spans.indices
+    }
+
+  property("output spans re-render into parseable canonical markdown") =
+    Prop.forAll(Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, fragment))) { frags =>
+      val spans = HtmlExtract.extract(frags.mkString(" ")).spans
+      // image spans round-trip; text blocks may contain marker-ambiguous
+      // content from the fuzzer, so only check structural sanity
+      spans.forall(s => s.kind != SpanKind.Image || s.media_ref.nonEmpty)
+    }
+}
