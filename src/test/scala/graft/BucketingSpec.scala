@@ -1,0 +1,48 @@
+package graft
+
+import graft.io.SyntheticDocs
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing evidence: co-locating the docs and media tables on doc_id lets
+  * the doc↔media join run with ZERO shuffle exchanges — the 100 TB plan for
+  * repeated joins against the media side-table (SURVEY §1.1: payload bytes
+  * live in a separate table keyed by doc_id).
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  // shared session (suites run in one JVM); broadcast threshold is toggled
+  // per-test and restored so other suites are unaffected
+  lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
+
+  test("doc↔media join on bucketed tables plans without a shuffle") {
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+    val gens = (0L until 300L).map(i => SyntheticDocs.generate(seed = 17, i))
+    val docs = spark.createDataset(gens.map(g => graft.model.Doc(g.raw.doc_id, g.expected))).toDF()
+    val media = docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "image")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+
+    docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("docs_bucketed")
+    media.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("media_bucketed")
+
+    val joined = spark.table("docs_bucketed")
+      .join(spark.table("media_bucketed"), Seq("doc_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() ==
+      gens.map(_.expected.count(_.kind == graft.model.SpanKind.Image)).sum)
+
+    // control: the same join on unbucketed data DOES shuffle
+    val unbucketed = docs.join(media, Seq("doc_id"))
+    assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
