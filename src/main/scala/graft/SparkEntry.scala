@@ -164,6 +164,20 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"), sum(size(col("media_refs"))).as("n_media"))
     }),
+    "pipeline_chunk_boundaries" -> ((s, dir) => {
+      // chunk → re-inject chunk_boundary comment spans → re-parse: the
+      // chunk_with_boundaries path (chunkers/base.py:79-223)
+      import s.implicits._
+      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir)))
+      docs.map { d =>
+        val content = graft.md.Markdown.render(d.spans).stripSuffix("\n")
+        val chunks = graft.chunk.Chunkers.tokenAwareChunks(d, maxTokensPerChunk = 120)
+        val withB = graft.chunk.Chunkers.addChunkBoundaries(content, chunks)
+        val reparsed = graft.md.Markdown.parse(withB)
+        (d.doc_id, chunks.length,
+          reparsed.count(_.kind == graft.model.SpanKind.ChunkBoundary))
+      }.toDF("doc_id", "n_chunks", "n_boundaries")
+    }),
     "pipeline_lineage" -> ((s, dir) => {
       val out = Pipeline.extract(rawDocs(s, dir), repartitionTo = 16)
       Pipeline.lineage(out, snapshotId = 0L)
