@@ -74,7 +74,8 @@ object Bench {
 
     // the headline uses a fixed 960k-doc corpus so docs/sec measures work,
     // not per-job overhead (at sf0.1 the sf-sized corpus is only 20k docs)
-    val scalePath = corpusPath(math.max(nDocs, 960000L))
+    val scaleDocs = math.max(nDocs, 960000L)
+    val scalePath = corpusPath(scaleDocs)
 
     val spark = mkSession(cpus)
     val (hn, _) = runJob(spark, scalePath) // warm-up
@@ -99,7 +100,7 @@ object Bench {
       val (d2, d8, d32) = (best(2), best(8), best(32))
       val eff28 = d8 / (4.0 * d2)
       val eff832 = d32 / (4.0 * d8)
-      f"""{"docs":960000,"pairs":[{"n_cpus":2,"n4_cpus":8,"docs_per_sec_n":$d2%.1f,"docs_per_sec_4n":$d8%.1f,"efficiency":$eff28%.3f},{"n_cpus":8,"n4_cpus":32,"docs_per_sec_n":$d8%.1f,"docs_per_sec_4n":$d32%.1f,"efficiency":$eff832%.3f}],"efficiency":$eff28%.3f}"""
+      f"""{"docs":$scaleDocs,"pairs":[{"n_cpus":2,"n4_cpus":8,"docs_per_sec_n":$d2%.1f,"docs_per_sec_4n":$d8%.1f,"efficiency":$eff28%.3f},{"n_cpus":8,"n4_cpus":32,"docs_per_sec_n":$d8%.1f,"docs_per_sec_4n":$d32%.1f,"efficiency":$eff832%.3f}],"efficiency":$eff28%.3f}"""
     } else "null"
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

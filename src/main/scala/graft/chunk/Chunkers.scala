@@ -28,6 +28,7 @@ object Chunkers {
     * (markdown_chunker/utils.py:34-63).
     */
   def splitByHeaders(text: String): Seq[(String, String, Int)] = {
+    if (text.isEmpty) return Nil // "".splitlines() == [] in the reference
     val out = ArrayBuffer.empty[(String, String, Int)]
     var header = ""
     var level = 0
@@ -52,6 +53,9 @@ object Chunkers {
       maxChunkSize: Int = 1500,
       chunkOverlap: Int = 50,
       mediaFiles: Seq[String] = Nil): Seq[Chunk] = {
+    require(chunkOverlap < maxChunkSize,
+      s"chunkOverlap ($chunkOverlap) must be < maxChunkSize ($maxChunkSize): " +
+        "the window stride is their difference")
     val content = Markdown.render(doc.spans).stripSuffix("\n")
     val media = if (mediaFiles.nonEmpty) mediaFiles
       else doc.spans.filter(_.kind == graft.model.SpanKind.Image).map(_.media_ref)

@@ -27,6 +27,14 @@ object HtmlExtract {
 
   private val SkipContent = Set("script", "style", "noscript", "template", "svg", "head")
 
+  /** HTML void elements: never pushed onto the open-tag stack (they have no
+    * closing tag, so pushing them would corrupt the heading/list context and
+    * grow the stack unboundedly on img/br-heavy pages).
+    */
+  private val VoidTags = Set(
+    "img", "br", "hr", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr")
+
   private final case class Block(
       text: StringBuilder = new StringBuilder,
       var linkChars: Int = 0,
@@ -142,8 +150,7 @@ object HtmlExtract {
                       if (t == "li") cur.isListItem = true
                     case _ => ()
                   }
-                  if (!inner.endsWith("/")) tagStack += name
-                  else if (name == "br") flush()
+                  if (!inner.endsWith("/") && !VoidTags.contains(name)) tagStack += name
                 } else {
                   name match {
                     case "a" => linkDepth = math.max(0, linkDepth - 1)

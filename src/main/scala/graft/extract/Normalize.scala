@@ -84,7 +84,12 @@ object Normalize {
   }
 
   // --------------------------------------------------------------- datalab
-  private val DatalabBreakRe: Regex = """(?:^|\n\n)\s*\{(\d+)\}\s*-+\s*\n\n""".r
+  // lookbehind for the leading blank line (instead of consuming it) so two
+  // consecutive markers — an empty page — both match, and `\n?$` admits a
+  // trailing marker with no final blank line; the reference's consuming
+  // pattern (datalab_provider/utils.py:95) silently drops both cases
+  private val DatalabBreakRe: Regex =
+    """(?:^|(?<=\n\n))\s*\{(\d+)\}\s*-+\s*(?:\n\n|\n?$)""".r
 
   /** DataLab/marker `{N}------` pagination (0-based N, emitted as page N+1;
     * datalab_provider/utils.py:95-108) + image rename-map 3-pass rewrite

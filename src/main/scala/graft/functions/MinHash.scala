@@ -50,9 +50,9 @@ object MinHashSig {
     var i = 0
     while (i < k) {
       as(i) = java.lang.Long.remainderUnsigned(
-        graft.io.SyntheticDocs.splitmix64(0x5eed0000L + i), P - 1) + 1
+        Hashing.splitmix64(0x5eed0000L + i), P - 1) + 1
       bs(i) = java.lang.Long.remainderUnsigned(
-        graft.io.SyntheticDocs.splitmix64(0xb00c0000L + i), P)
+        Hashing.splitmix64(0xb00c0000L + i), P)
       i += 1
     }
     (as, bs)

@@ -45,12 +45,7 @@ case class ShingleHashes(child: Expression, n: Int, maxTokens: Int)
 
 object ShingleHashes {
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = Hashing.splitmix64(z0)
 
   /** One pass: split on runs of whitespace, hash words, roll shingles. */
   def compute(str: UTF8String, n: Int, maxTokens: Int): Array[Long] = {

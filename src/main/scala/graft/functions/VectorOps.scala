@@ -104,12 +104,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
 }
 
 object HyperplaneBucket {
-  private def mix(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(x0: Long): Long = Hashing.splitmix64(x0)
 
   /** Hyperplane component in [-1, 1): mix(plane, dim) scaled. */
   private def component(p: Int, d: Int): Double =

@@ -54,12 +54,17 @@ object TableIO {
 
   /** Append `df` as a new snapshot; returns the committed snapshot.
     * Data is written first, the manifest second, the `current` pointer last
-    * (atomic rename) — the Iceberg commit order.
+    * (atomic rename) — the Iceberg commit order. Before writing, any
+    * leftovers from a commit that crashed mid-write (data dirs / manifests
+    * with ids beyond `current` — invisible by definition, since visibility
+    * is the pointer flip) are removed so the rerun reuses the id cleanly
+    * instead of failing on PATH_ALREADY_EXISTS forever.
     */
   def commit(df: DataFrame, tableDir: String): Snapshot = {
     Files.createDirectories(Paths.get(tableDir))
     val parent = currentSnapshot(tableDir)
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+    cleanOrphans(tableDir, sinceExclusive = id - 1)
     val dataDir = s"data-$id"
     df.write.mode("errorifexists").parquet(s"$tableDir/$dataDir")
     val rows = df.sparkSession.read.parquet(s"$tableDir/$dataDir").count()
@@ -81,6 +86,28 @@ object TableIO {
     Files.write(tmp, s.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, "current"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete uncommitted artifacts with snapshot id > `sinceExclusive`
+    * (never referenced by `current`, so removal cannot lose visible data).
+    */
+  private def cleanOrphans(tableDir: String, sinceExclusive: Long): Unit = {
+    val dir = new java.io.File(tableDir)
+    val DataRe = """data-(\d+)""".r
+    val SnapRe = """snap-(\d+)\.json""".r
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val orphanId = f.getName match {
+        case DataRe(n) => Some(n.toLong)
+        case SnapRe(n) => Some(n.toLong)
+        case _ => None
+      }
+      if (orphanId.exists(_ > sinceExclusive)) deleteRecursively(f)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Read the table at its current snapshot (all live data dirs). */

@@ -16,14 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A media row: payload + typed metadata (docler's `Image` sidecar shape,
-    * docler_api/routes.py:62-64).
+  /** Media rows use the core model's sidecar shape ([[graft.model.MediaRef]],
+    * docler's `Image`, docler_api/routes.py:62-64).
     */
-  final case class MediaRow(
-      doc_id: String,
-      media_ref: String,
-      mime_type: String,
-      content: Array[Byte])
+  type MediaRow = graft.model.MediaRef
+  val MediaRow = graft.model.MediaRef
 
   final case class MediaFeatures(
       doc_id: String,

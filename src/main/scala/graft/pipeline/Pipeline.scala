@@ -106,7 +106,9 @@ object Pipeline {
     * `spark_partition_id()` so it is one partial-aggregated shuffle, not a
     * custom accumulator.
     */
-  def lineage(out: Dataset[ExtractOut], snapshotId: Long): DataFrame =
+  def lineage(out: Dataset[ExtractOut], snapshotId: Long): Dataset[LineageRow] = {
+    val spark = out.sparkSession
+    import spark.implicits._
     out.toDF()
       .withColumn("partition_id", spark_partition_id())
       .groupBy(col("partition_id"))
@@ -116,6 +118,8 @@ object Pipeline {
         filter(collect_list(col("failure")), f => f =!= "").as("failures"))
       .select(lit(snapshotId).as("snapshot_id"), col("partition_id"),
         col("doc_count"), col("span_count"), col("failures"))
+      .as[LineageRow]
+  }
 }
 
 /** Snapshot-aware resume: drop doc_ids already committed to the output table

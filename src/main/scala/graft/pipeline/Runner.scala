@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * Commit protocol (emulated Iceberg, TableIO): the docs snapshot is written
   * first; the lineage rows carry that snapshot id and are committed to the
   * metrics table second; the docs `current` pointer flips only after data is
-  * durable. A crash between the two leaves the docs snapshot visible without
-  * metrics — the lineage committer is re-run idempotently by keying metrics
-  * on (snapshot_id, partition_id).
+  * durable. Crash windows and their repair:
+  *   - inside the docs commit: invisible leftovers are cleaned by
+  *     TableIO.commit's orphan sweep; the rerun re-processes the batch.
+  *   - between the docs commit and the lineage commit: the rerun detects the
+  *     visible docs snapshot with no metrics rows and reconstructs lineage
+  *     from the committed snapshot itself (failure lists are not
+  *     reconstructable post-hoc — failed docs were never committed, so they
+  *     are re-extracted on the next batch anyway — and are recorded empty).
   */
 object Runner {
 
@@ -50,6 +55,7 @@ object Runner {
     if (pendingCount == 0) {
       out.unpersist()
       val snap = TableIO.currentSnapshot(outTableDir).map(_.snapshotId).getOrElse(-1L)
+      if (snap >= 0) repairMissingLineage(spark, outTableDir, metricsTableDir, snap)
       return RunResult(snap, 0, 0, 0, inputCount)
     }
 
@@ -57,7 +63,7 @@ object Runner {
     val snap = TableIO.commit(Pipeline.toDocsDF(out), outTableDir)
 
     // 4. commit lineage under the same snapshot id
-    val lineage = Pipeline.lineage(out, snap.snapshotId).cache()
+    val lineage = Pipeline.lineage(out, snap.snapshotId).toDF().cache()
     TableIO.commit(lineage, metricsTableDir)
     val totals = lineage.agg(
       sum(col("doc_count")), sum(col("span_count")),
@@ -67,5 +73,36 @@ object Runner {
 
     RunResult(snap.snapshotId, totals.getLong(0), totals.getLong(1),
       totals.getLong(2), inputCount - pendingCount)
+  }
+
+  /** Repair the docs-committed-but-lineage-missing crash window: rebuild the
+    * snapshot's metrics rows from the committed docs themselves.
+    */
+  private def repairMissingLineage(
+      spark: SparkSession,
+      outTableDir: String,
+      metricsTableDir: String,
+      docsSnapshotId: Long): Unit = {
+    val hasRows = TableIO.read(spark, metricsTableDir)
+      .exists(m => !m.filter(col("snapshot_id") === docsSnapshotId).isEmpty)
+    if (!hasRows) {
+      TableIO.readAsOf(spark, outTableDir, docsSnapshotId).foreach { docs =>
+        // only the rows ADDED by this snapshot (not its ancestors)
+        val prior = TableIO.readAsOf(spark, outTableDir, docsSnapshotId - 1)
+        val added = prior match {
+          case Some(p) => docs.join(p.select("doc_id"), Seq("doc_id"), "left_anti")
+          case None => docs
+        }
+        val lineage = added
+          .withColumn("partition_id", spark_partition_id())
+          .groupBy(col("partition_id"))
+          .agg(count(lit(1)).as("doc_count"),
+            coalesce(sum(size(col("spans"))), lit(0L)).as("span_count"))
+          .select(lit(docsSnapshotId).as("snapshot_id"), col("partition_id"),
+            col("doc_count"), col("span_count"),
+            array().cast("array<string>").as("failures"))
+        if (!lineage.isEmpty) TableIO.commit(lineage, metricsTableDir)
+      }
+    }
   }
 }

@@ -20,6 +20,17 @@ class BucketingSpec extends AnyFunSuite {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // locations persist — clear both
+    for (t <- Seq("docs_bucketed", "media_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(loc)
+    }
     try {
     val gens = (0L until 300L).map(i => SyntheticDocs.generate(seed = 17, i))
     val docs = spark.createDataset(gens.map(g => graft.model.Doc(g.raw.doc_id, g.expected))).toDF()

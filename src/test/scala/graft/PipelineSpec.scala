@@ -91,11 +91,10 @@ class PipelineSpec extends AnyFunSuite {
     val raw = spark.createDataset(gens.map(_.raw) :+ bad)
     val out = Pipeline.extract(raw, repartitionTo = 4).cache()
     val rows = Pipeline.lineage(out, snapshotId = 42L).collect()
-    assert(rows.map(_.getAs[Long]("doc_count")).sum == 50L)
-    assert(rows.map(_.getAs[Long]("span_count")).sum ==
-      gens.map(_.expected.size).sum.toLong)
-    assert(rows.flatMap(_.getAs[scala.collection.Seq[String]]("failures")).length == 1)
-    assert(rows.forall(_.getAs[Long]("snapshot_id") == 42L))
+    assert(rows.map(_.doc_count).sum == 50L)
+    assert(rows.map(_.span_count).sum == gens.map(_.expected.size).sum.toLong)
+    assert(rows.flatMap(_.failures).length == 1)
+    assert(rows.forall(_.snapshot_id == 42L))
     out.unpersist()
   }
 
