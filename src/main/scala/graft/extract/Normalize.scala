@@ -35,9 +35,12 @@ object Normalize {
     * `<figure>…</figure>` blocks replaced positionally by image refs
     * (azure_provider/utils.py:22-30).
     */
+  private val PageBreakMarkerRe: Regex = """<!--\s*PageBreak\s*-->""".r
+  private val FigureRe: Regex = "(?s)<figure>(.*?)</figure>".r
+
   def azure(content: String, figureImages: Seq[NormImage] = Nil): Normalized = {
-    val withBreaks = renumberMarkers(content, """<!--\s*PageBreak\s*-->""".r, newlineSeparators = 1)
-    val figRe: Regex = "(?s)<figure>(.*?)</figure>".r
+    val withBreaks = renumberMarkers(content, PageBreakMarkerRe, newlineSeparators = 1)
+    val figRe: Regex = FigureRe
     var i = 0
     val replaced = figRe.replaceAllIn(withBreaks, m => {
       val out =
@@ -57,16 +60,22 @@ object Normalize {
     * replaced sequentially by `![img-i](img-i.png)` (provider.py:155-166).
     */
   def docling(content: String, imageCount: Int): Normalized = {
-    var md = renumberMarkers(content, """<!--\s*PageBreak\s*-->""".r, newlineSeparators = 1)
+    var md = renumberMarkers(content, PageBreakMarkerRe, newlineSeparators = 1)
     val images = ArrayBuffer.empty[NormImage]
     var i = 0
-    while (i < imageCount && md.contains("<!-- image -->")) {
+    var from = 0
+    val placeholder = "<!-- image -->"
+    val sb = new java.lang.StringBuilder
+    while (i < imageCount && md.indexOf(placeholder, from) >= 0) {
+      val at = md.indexOf(placeholder, from)
       val id = s"img-$i"
       val filename = s"$id.png"
-      md = md.replaceFirst("""<!-- image -->""", Regex.quoteReplacement(Markdown.createImageReference(id, filename)))
+      sb.append(md, from, at).append(Markdown.createImageReference(id, filename))
+      from = at + placeholder.length
       images += NormImage(id, filename, "image/png", "")
       i += 1
     }
+    if (from > 0) { sb.append(md, from, md.length); md = sb.toString }
     Normalized(md, images.toSeq)
   }
 
@@ -96,9 +105,14 @@ object Normalize {
     * (utils.py:24-57,114-131). `imageRenames` maps the provider's original
     * file names in first-seen order to normalized `img-K.<ext>`.
     */
+  private val MdImageRe: Regex = """!\[(.*?)\]\((.*?)\)""".r
+
   def datalab(content: String, originalImageNames: Seq[String]): Normalized = {
     var md = DatalabBreakRe.replaceAllIn(content, m =>
       Regex.quoteReplacement(Markdown.createPageBreak(m.group(1).toInt + 1, newlineSeparators = 2)))
+    // like the reference (datalab_provider/utils.py:127-131), the image
+    // normalization passes run only when the response carried images
+    if (originalImageNames.isEmpty) return Normalized(md, Nil)
     val renames: Seq[(String, NormImage)] = originalImageNames.zipWithIndex.map {
       case (orig, i) =>
         val ext = orig.split('.').last.toLowerCase
@@ -108,8 +122,7 @@ object Normalize {
     // pass 1: replace file paths inside markdown links
     renames.foreach { case (orig, img) => md = md.replace(s"]($orig)", s"](${img.filename})") }
     // pass 2: fix alt texts to proper ids
-    val imgRe = """!\[(.*?)\]\((.*?)\)""".r
-    md = imgRe.replaceAllIn(md, m => {
+    md = MdImageRe.replaceAllIn(md, m => {
       val file = m.group(2)
       val hit = renames.collectFirst {
         case (orig, img) if file == img.filename || file == orig =>
@@ -251,6 +264,10 @@ object Normalize {
     seen.toSeq
   }
 
-  def countImagePlaceholders(content: String): Int =
-    "<!-- image -->".r.findAllIn(content).length
+  def countImagePlaceholders(content: String): Int = {
+    var n = 0
+    var i = content.indexOf("<!-- image -->")
+    while (i >= 0) { n += 1; i = content.indexOf("<!-- image -->", i + 14) }
+    n
+  }
 }
