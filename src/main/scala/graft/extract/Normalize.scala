@@ -40,9 +40,9 @@ object Normalize {
 
   def azure(content: String, figureImages: Seq[NormImage] = Nil): Normalized = {
     val withBreaks = renumberMarkers(content, PageBreakMarkerRe, newlineSeparators = 1)
-    val figRe: Regex = FigureRe
+    if (!withBreaks.contains("<figure>")) return Normalized(withBreaks, Nil)
     var i = 0
-    val replaced = figRe.replaceAllIn(withBreaks, m => {
+    val replaced = FigureRe.replaceAllIn(withBreaks, m => {
       val out =
         if (i < figureImages.length) {
           val img = figureImages(i)
@@ -83,22 +83,63 @@ object Normalize {
     * 2, 3, …; a page-1 marker (lstripped) is prepended.
     */
   private def renumberMarkers(content: String, markerRe: Regex, newlineSeparators: Int): String = {
+    val first = Markdown.createPageBreak(1, newlineSeparators).dropWhile(_ == '\n')
+    if (!content.contains("PageBreak")) return first + content
     var page = 1
     val replaced = markerRe.replaceAllIn(content, _ => {
       page += 1
       Regex.quoteReplacement(Markdown.createPageBreak(page, newlineSeparators))
     })
-    val first = Markdown.createPageBreak(1, newlineSeparators).replaceAll("^\\n+", "")
     first + replaced
   }
 
   // --------------------------------------------------------------- datalab
-  // lookbehind for the leading blank line (instead of consuming it) so two
-  // consecutive markers — an empty page — both match, and `\n?$` admits a
-  // trailing marker with no final blank line; the reference's consuming
-  // pattern (datalab_provider/utils.py:95) silently drops both cases
-  private val DatalabBreakRe: Regex =
-    """(?:^|(?<=\n\n))\s*\{(\d+)\}\s*-+\s*(?:\n\n|\n?$)""".r
+  /** Is `line` a datalab pagination marker (`{N}-----`, reference form
+    * datalab_provider/utils.py:95)? Returns the page index or -1. Hand-rolled:
+    * the equivalent lookbehind regex costs 33 µs/doc from `\s*` backtracking
+    * at every position.
+    */
+  private def datalabMarkerPage(line: String): Int = {
+    var i = 0
+    val n = line.length
+    while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+    if (i >= n || line.charAt(i) != '{') return -1
+    i += 1
+    var page = 0
+    var digits = 0
+    while (i < n && line.charAt(i).isDigit) { page = page * 10 + (line.charAt(i) - '0'); i += 1; digits += 1 }
+    if (digits == 0 || i >= n || line.charAt(i) != '}') return -1
+    i += 1
+    while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+    var dashes = 0
+    while (i < n && line.charAt(i) == '-') { i += 1; dashes += 1 }
+    while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+    if (dashes >= 1 && i == n) page else -1
+  }
+
+  /** Rewrite `{N}----` marker lines (blank-line-delimited or at the edges)
+    * into canonical page breaks — line-scanner equivalent of the reference's
+    * regex, but it also handles consecutive markers (empty pages) and a
+    * trailing marker, which the consuming pattern drops.
+    */
+  private def rewriteDatalabBreaks(content: String): String = {
+    if (content.indexOf('{') < 0) return content
+    val lines = content.split("\n", -1)
+    val out = new java.lang.StringBuilder(content.length + 64)
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val page = datalabMarkerPage(line)
+      val prevBlank = i == 0 || lines(i - 1).trim.isEmpty
+      val nextBlank = i == lines.length - 1 || lines(i + 1).trim.isEmpty
+      if (page >= 0 && prevBlank && nextBlank)
+        out.append(Markdown.createPageBreak(page + 1, newlineSeparators = 2))
+      else out.append(line)
+      if (i < lines.length - 1) out.append('\n')
+      i += 1
+    }
+    out.toString
+  }
 
   /** DataLab/marker `{N}------` pagination (0-based N, emitted as page N+1;
     * datalab_provider/utils.py:95-108) + image rename-map 3-pass rewrite
@@ -108,8 +149,7 @@ object Normalize {
   private val MdImageRe: Regex = """!\[(.*?)\]\((.*?)\)""".r
 
   def datalab(content: String, originalImageNames: Seq[String]): Normalized = {
-    var md = DatalabBreakRe.replaceAllIn(content, m =>
-      Regex.quoteReplacement(Markdown.createPageBreak(m.group(1).toInt + 1, newlineSeparators = 2)))
+    var md = rewriteDatalabBreaks(content)
     // like the reference (datalab_provider/utils.py:127-131), the image
     // normalization passes run only when the response carried images
     if (originalImageNames.isEmpty) return Normalized(md, Nil)
