@@ -289,6 +289,14 @@ object Normalize {
       case "md_datauri" => dataUriImages(raw)
       case "md_pages" => pages(pagesIn)
       case "md_docling" => docling(raw, countImagePlaceholders(raw))
+      case "md_upstage" =>
+        // table form of the upstage payload: `raw` is the flat markdown,
+        // pagesIn(i) is page (i+2)'s anchor (its first non-empty element
+        // markdown, upstage_provider/provider.py:172-178); placeholder
+        // images are countable from the content
+        val anchors = pagesIn.zipWithIndex.map { case (a, i) => (i + 2, Seq(a)) }
+        val nImgs = countOccurrences(raw, "![image](/image/placeholder)")
+        upstage(raw, anchors, Seq.fill(nImgs)("image/png"))
       case other => throw new IllegalArgumentException(s"unknown dialect: $other")
     }
 
@@ -304,10 +312,13 @@ object Normalize {
     seen.toSeq
   }
 
-  def countImagePlaceholders(content: String): Int = {
+  def countImagePlaceholders(content: String): Int =
+    countOccurrences(content, "<!-- image -->")
+
+  private def countOccurrences(content: String, needle: String): Int = {
     var n = 0
-    var i = content.indexOf("<!-- image -->")
-    while (i >= 0) { n += 1; i = content.indexOf("<!-- image -->", i + 14) }
+    var i = content.indexOf(needle)
+    while (i >= 0) { n += 1; i = content.indexOf(needle, i + needle.length) }
     n
   }
 }

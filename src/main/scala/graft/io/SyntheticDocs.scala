@@ -56,7 +56,8 @@ object SyntheticDocs {
   // ----------------------------------------------------------- doc synthesis
 
   val PayloadKinds: Seq[String] =
-    Seq("html", "pdf_layout", "md_azure", "md_datalab", "md_slides", "md_pages", "md_datauri")
+    Seq("html", "pdf_layout", "md_azure", "md_datalab", "md_slides", "md_pages",
+      "md_upstage", "md_datauri")
 
   def payloadKindFor(docIndex: Long): String = {
     val h = splitmix64(docIndex * 31 + 7)
@@ -66,7 +67,8 @@ object SyntheticDocs {
     else if (r < 70) "md_azure"
     else if (r < 80) "md_datalab"
     else if (r < 85) "md_slides"
-    else if (r < 95) "md_pages"
+    else if (r < 92) "md_pages"
+    else if (r < 95) "md_upstage"
     else "md_datauri"
   }
 
@@ -90,6 +92,7 @@ object SyntheticDocs {
       case "md_datalab" => genDatalab(docId, nPages, rng)
       case "md_slides" => genSlides(docId, nPages, rng)
       case "md_pages" => genPages(docId, nPages, rng)
+      case "md_upstage" => genUpstage(docId, nPages, rng)
       case "md_datauri" => genDataUri(docId, rng)
     }
   }
@@ -166,6 +169,28 @@ object SyntheticDocs {
     }
     if (open) parts += cur.result().mkString("\n\n")
     GenDoc(RawDoc(docId, "md_pages", "application/pdf", "", parts.result(), Nil), spans)
+  }
+
+  private def genUpstage(docId: String, nPages: Int, rng: DocRng): GenDoc = {
+    val spans = canonicalSpans(nPages, rng, withImages = true)
+    // raw flat markdown: no page markers, images as upstage placeholders
+    val raw = spans.collect {
+      case s if s.kind == SpanKind.Image => "![image](/image/placeholder)"
+      case s if s.kind == SpanKind.Text => s.text
+    }.mkString("\n\n")
+    // anchors: first text block of each page ≥ 2 (generator guarantees each
+    // page opens with a text block)
+    val anchors = Seq.newBuilder[String]
+    var page = 0
+    var want = false
+    spans.foreach {
+      case s if s.kind == SpanKind.PageBreak =>
+        page = Markdown.extractNextPage(s.text); want = page >= 2
+      case s if want && s.kind == SpanKind.Text =>
+        anchors += s.text; want = false
+      case _ => ()
+    }
+    GenDoc(RawDoc(docId, "md_upstage", "application/pdf", raw, anchors.result(), Nil), spans)
   }
 
   private def genDataUri(docId: String, rng: DocRng): GenDoc = {
