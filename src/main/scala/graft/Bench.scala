@@ -95,7 +95,7 @@ object Bench {
       //  2→8  measures scaling below this VM's memory-bus saturation point
       //       (the regime that transfers to one-bus-per-executor clusters)
       //  8→32 measures it across the saturation point (single shared bus)
-      val samples = Seq(8, 32, 2, 8, 32, 2).map(c => c -> bestOf(c, scalePath, 1))
+      val samples = Seq(8, 32, 2, 8, 32, 2).map(c => c -> bestOf(c, scalePath, 2))
       def best(c: Int) = samples.collect { case (`c`, v) => v }.max
       val (d2, d8, d32) = (best(2), best(8), best(32))
       val eff28 = d8 / (4.0 * d2)
