@@ -102,11 +102,20 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_subword_count" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+    "q_quality_score" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
     // ------------------------------------------------ dedup family
     "q_dedup_exact" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .groupBy(TextAnalysis.contentHash(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))),
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))),
     // pair ops run on a fixed 500-doc calibration slice so cost is constant
     // across SFs (the operators themselves are shuffle-bounded for scale);
     // the small parquet arrives as ONE split, so spread it before the
@@ -325,6 +334,19 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_survivors" ->
+      """SELECT doc_id, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin,
+    "q_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}+|[^\p{L}\p{N}\s]')) AS INT) AS n_subwords
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  greatest(least(
+        |    (length(regexp_replace(text, '[^\p{L}]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.7
+        |    + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3, 1.0), 0.0) AS quality
+        |FROM documents""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -40,6 +40,8 @@ object HtmlExtract {
       var linkChars: Int = 0,
       var headingLevel: Int = 0,
       var isListItem: Boolean = false,
+      var isBlockquote: Boolean = false,
+      var isPre: Boolean = false,
       var inBoiler: Boolean = false,
       images: ArrayBuffer[(String, String)] = ArrayBuffer.empty) { // (alt, srcExt)
     def totalChars: Int = text.length
@@ -74,8 +76,11 @@ object HtmlExtract {
     def flush(): Unit = {
       val trimmed = cur.text.toString.trim
       if (trimmed.nonEmpty || cur.images.nonEmpty) {
-        val b = new Block(new StringBuilder(collapseWs(trimmed)), cur.linkChars,
-          cur.headingLevel, cur.isListItem, cur.inBoiler || boilerDepth > 0, cur.images)
+        // pre blocks keep their internal whitespace verbatim
+        val body = if (cur.isPre) trimmed else collapseWs(trimmed)
+        val b = new Block(new StringBuilder(body), cur.linkChars,
+          cur.headingLevel, cur.isListItem, cur.isBlockquote, cur.isPre,
+          cur.inBoiler || boilerDepth > 0, cur.images)
         blocks += b
       }
       cur = new Block
@@ -83,6 +88,8 @@ object HtmlExtract {
       if (tagStack.lastOption.exists(t => t.length == 2 && t(0) == 'h' && t(1).isDigit))
         cur.headingLevel = tagStack.last(1) - '0'
       if (tagStack.contains("li")) cur.isListItem = true
+      if (tagStack.contains("blockquote")) cur.isBlockquote = true
+      if (tagStack.contains("pre")) cur.isPre = true
     }
 
     def emitTable(): Unit = {
@@ -145,9 +152,13 @@ object HtmlExtract {
                       flush(); boilerDepth += 1; cur.inBoiler = true
                     case t if BlockTags.contains(t) =>
                       flush()
+                      // flags for the tag being opened: it is not yet on the
+                      // stack when flush() derives context from tagStack
                       if (t.length == 2 && t(0) == 'h' && t(1).isDigit)
                         cur.headingLevel = t(1) - '0'
                       if (t == "li") cur.isListItem = true
+                      if (t == "blockquote") cur.isBlockquote = true
+                      if (t == "pre") cur.isPre = true
                     case _ => ()
                   }
                   if (!inner.endsWith("/") && !VoidTags.contains(name)) tagStack += name
@@ -207,7 +218,7 @@ object HtmlExtract {
       else if (b.images.nonEmpty && b.totalChars == 0) true
       else if (b.linkDensity > 0.5) false
       else if (b.linkDensity > 0.33 && b.totalChars < 80) false
-      else if (b.totalChars < 8 && !b.isListItem) false
+      else if (b.totalChars < 8 && !b.isListItem && !b.isPre) false
       else true
     }
 
@@ -221,6 +232,8 @@ object HtmlExtract {
       if (txt.nonEmpty) {
         val md =
           if (b.headingLevel > 0) ("#" * b.headingLevel) + " " + txt
+          else if (b.isPre) "```\n" + txt + "\n```"
+          else if (b.isBlockquote) txt.linesIterator.map("> " + _).mkString("\n")
           else if (b.isListItem) "- " + txt
           else txt
         spans += Span(SpanKind.Text, md, "", spans.length)

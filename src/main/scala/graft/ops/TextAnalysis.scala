@@ -47,12 +47,14 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: favors mid-length docs with high
     * alpha ratio and sane punctuation. Deterministic, codegen-only.
+    * Unrounded: the IEEE double is bit-identical across engines evaluating
+    * the same op order, whereas rounding at a .xxxx5 boundary is not.
     */
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^\\p{L}]", "")) / greatest(len, lit(1.0))
     val lenScore = least(len / lit(500.0), lit(1.0))
-    round(greatest(least(alpha * lit(0.7) + lenScore * lit(0.3), lit(1.0)), lit(0.0)), 4)
+    greatest(least(alpha * lit(0.7) + lenScore * lit(0.3), lit(1.0)), lit(0.0))
   }
 
   /** Stopword-hit language ID: counts hits against small built-in stopword

@@ -104,6 +104,15 @@ class HtmlExtractSpec extends AnyFunSuite {
     val ex = HtmlExtract.extract("<body><p>Fish &amp; chips &lt;now&gt; for &quot;two&quot;</p></body>")
     assert(ex.spans.head.text == "Fish & chips <now> for \"two\"")
   }
+
+  test("blockquote renders with > prefix; pre keeps verbatim text in fences") {
+    val ex = HtmlExtract.extract(
+      "<body><blockquote>quoted wisdom of the ancients</blockquote>" +
+        "<pre>val x = 1\n  val y = 2</pre></body>")
+    val texts = ex.spans.map(_.text)
+    assert(texts.contains("> quoted wisdom of the ancients"))
+    assert(texts.contains("```\nval x = 1\n  val y = 2\n```"))
+  }
 }
 
 class PdfLayoutSpec extends AnyFunSuite {

@@ -53,6 +53,52 @@ object MarkdownProps extends Properties("Markdown") {
       val spans = Markdown.parse(s)
       spans.map(_.offset) == spans.indices
     }
+
+  /** Canonical stream with page breaks renumbered 1..N (what a converter
+    * output stream looks like) for dialect round-trips.
+    */
+  private val genPagedSpans: Gen[List[Span]] = genSpans.map { spans =>
+    // dialect round-trips look like real converter output: a leading page-1
+    // break, inner breaks renumbered 2..N
+    var page = 1
+    val inner = spans.map {
+      case s if s.kind == SpanKind.PageBreak =>
+        page += 1
+        Markdown.pageBreakSpan(page, s.offset)
+      case s => s
+    }
+    (Markdown.pageBreakSpan(1, 0) +: inner).zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+  }
+
+  property("azure dialect: inverse-transform → normalize round-trips any stream") =
+    Prop.forAll(genPagedSpans) { spans =>
+      // guard against shrinker outputs outside the generator's support
+      // (azure semantics require the leading page-1 break)
+      if (spans.isEmpty || spans.head.kind != SpanKind.PageBreak ||
+          spans.map(_.offset) != spans.indices) true
+      else {
+      // render canonical, dirty into azure raw, re-normalize
+      val md = Markdown.render(spans)
+      val MarkerRe = """<!-- docler:page_break \{"next_page":(\d+)\} -->""".r
+      var raw = MarkerRe.replaceAllIn(md,
+        m => if (m.group(1).toInt == 1) "" else "<!-- PageBreak -->")
+      raw = """!\[[^\]]*\]\([^)]*\)""".r.replaceAllIn(raw, "<figure>fig</figure>")
+      val nFigs = spans.count(_.kind == SpanKind.Image)
+      val figs = (0 until nFigs).map(i =>
+        graft.extract.NormImage(s"img-$i", s"img-$i.png", "image/png", ""))
+      val normalized = graft.extract.Normalize.azure(raw, figs)
+      // image filenames become img-K.png regardless of the original ext
+      val expected = {
+        var k = -1
+        spans.map {
+          case s if s.kind == SpanKind.Image =>
+            k += 1; Span(SpanKind.Image, s"img-$k", s"img-$k.png", s.offset)
+          case s => s
+        }
+      }
+      normalized.spans == expected
+      }
+    }
 }
 
 object ChunkerProps extends Properties("Chunkers") {
