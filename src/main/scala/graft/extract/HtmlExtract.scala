@@ -163,6 +163,11 @@ object HtmlExtract {
                   }
                   if (!inner.endsWith("/") && !VoidTags.contains(name)) tagStack += name
                 } else {
+                  // pop BEFORE flushing: flush() derives the NEW block's
+                  // context (heading/list/pre/blockquote) from the stack, and
+                  // text after </pre> must not inherit the closed tag's flag
+                  val idx = tagStack.lastIndexOf(name)
+                  if (idx >= 0) tagStack.remove(idx)
                   name match {
                     case "a" => linkDepth = math.max(0, linkDepth - 1)
                     case "table" if tableDepth > 0 =>
@@ -180,8 +185,6 @@ object HtmlExtract {
                     case t if BlockTags.contains(t) => flush()
                     case _ => ()
                   }
-                  val idx = tagStack.lastIndexOf(name)
-                  if (idx >= 0) tagStack.remove(idx)
                 }
               }
             }
@@ -266,12 +269,14 @@ object HtmlExtract {
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
 
   private def collapseWs(s: String): String = {
-    // fast path: already collapsed (common for short text runs)
+    // fast path: already collapsed (common for short text runs); any
+    // non-space whitespace (\n \t \r \f  …) or a double space bails
     var i = 0
     var needs = false
     while (i < s.length && !needs) {
       val c = s.charAt(i)
-      if (c == '\n' || c == '\t' || c == '\r' || (c == ' ' && i + 1 < s.length && s.charAt(i + 1) == ' '))
+      if ((c != ' ' && Character.isWhitespace(c)) ||
+          (c == ' ' && i + 1 < s.length && s.charAt(i + 1) == ' '))
         needs = true
       i += 1
     }

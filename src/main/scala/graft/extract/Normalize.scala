@@ -238,16 +238,28 @@ object Normalize {
         }
       }
     }
+    // single-pass placeholder replacement (a replaceFirst loop would rescan
+    // and recopy the document per image)
     val images = ArrayBuffer.empty[NormImage]
-    imageMimes.zipWithIndex.foreach { case (mime, k) =>
-      val placeholder = "![image](/image/placeholder)"
-      if (md.contains(placeholder)) {
+    val placeholder = "![image](/image/placeholder)"
+    if (imageMimes.nonEmpty && md.contains(placeholder)) {
+      val sb = new java.lang.StringBuilder(md.length + 32)
+      var from = 0
+      var k = 0
+      var at = md.indexOf(placeholder)
+      while (at >= 0 && k < imageMimes.length) {
+        val mime = imageMimes(k)
         val id = s"img-$k"
         val ext = mime.split('/').last.split('\\' + "+").head
         val filename = s"$id.$ext"
-        md = md.replaceFirst(Regex.quote(placeholder), Regex.quoteReplacement(Markdown.createImageReference(id, filename)))
+        sb.append(md, from, at).append(Markdown.createImageReference(id, filename))
         images += NormImage(id, filename, mime, "")
+        from = at + placeholder.length
+        k += 1
+        at = md.indexOf(placeholder, from)
       }
+      sb.append(md, from, md.length)
+      md = sb.toString
     }
     Normalized(md.trim, images.toSeq)
   }

@@ -137,11 +137,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // token-less docs all hash to 0 — without this guard they form one hot
-    // band key (quadratic join blowup) and emit spurious hamming-0 pairs
+    // band key (quadratic join blowup) and emit spurious hamming-0 pairs.
+    // Tokenize ONCE: filter and signature share the same token-hash column.
     val withSig = docs
-      .filter(size(graft.functions.ShingleHashes.shingleHashes(
-        normalized(col(textCol)), 1, 1)) > 0)
-      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          normalized(col(textCol)), 1, 128).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.functions.SimHash64.simhash64(col("toks")).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "chunk")))

@@ -38,6 +38,14 @@ object Runner {
     val spark = input.sparkSession
     import spark.implicits._
 
+    // 0. repair the docs-committed-but-lineage-missing crash window FIRST —
+    // unconditionally, not only on no-op reruns: a rerun with pending work
+    // would otherwise commit snapshot N+1 and leave snapshot N's metrics
+    // missing forever
+    TableIO.currentSnapshot(outTableDir).foreach { s =>
+      repairMissingLineage(spark, outTableDir, metricsTableDir, s.snapshotId)
+    }
+
     // 1. resume: drop already-committed doc_ids (snapshot-aware anti-join)
     val processed = Resume.processedIds(spark, outTableDir)
     val pending: Dataset[RawDoc] = processed match {
@@ -52,11 +60,15 @@ object Runner {
     val out = Pipeline.extract(pending, repartitionTo = par).cache()
 
     val pendingCount = out.count()
-    if (pendingCount == 0) {
+    val okCount = out.filter(_.failure.isEmpty).count()
+    if (okCount == 0) {
+      // nothing committable: either fully resumed, or only permanently
+      // failing docs remain — committing an empty snapshot every rerun
+      // would grow the chain unboundedly without converging
+      val failures = pendingCount // every pending row is a failure row here
       out.unpersist()
       val snap = TableIO.currentSnapshot(outTableDir).map(_.snapshotId).getOrElse(-1L)
-      if (snap >= 0) repairMissingLineage(spark, outTableDir, metricsTableDir, snap)
-      return RunResult(snap, 0, 0, 0, inputCount)
+      return RunResult(snap, 0, 0, failures, inputCount - pendingCount)
     }
 
     // 3. commit docs; snapshot id anchors the lineage rows

@@ -83,16 +83,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("b") >= 0L && row.getAs[Long]("b") < 16L)
   }
 
-  test("extensions class registers via withExtensions") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    try {
-      val v = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
-        .collect().head.getDouble(0)
-      assert(v == 1.0)
-    } finally ()
+  test("extension injection covers the same registry as post-hoc register") {
+    // NB: builder().withExtensions(...).getOrCreate() in this JVM would
+    // silently return the suite's existing session with extensions
+    // unapplied, so exercise the injection entry point directly — both
+    // paths iterate GraftExtensions.registry, which is asserted complete
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+    assert(graft.functions.GraftExtensions.registry.map(_._1).toSet ==
+      Set("simhash64", "minhash_sig", "shingle_hashes", "cosine_sim", "hyperplane_bucket"))
+    // every builder yields a type-checking expression for a valid arg shape
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val arrF = Literal.create(Array(1.0f), ArrayType(FloatType))
+    val arrL = Literal.create(Array(1L), ArrayType(LongType))
+    val str = Literal.create("a b c", StringType)
+    val k = Literal.create(4, IntegerType)
+    val byName = graft.functions.GraftExtensions.registry.toMap
+    assert(byName("simhash64")(Seq(arrL)).checkInputDataTypes().isSuccess)
+    assert(byName("minhash_sig")(Seq(arrL, k)).checkInputDataTypes().isSuccess)
+    assert(byName("shingle_hashes")(Seq(str, k)).checkInputDataTypes().isSuccess)
+    assert(byName("cosine_sim")(Seq(arrF, arrF)).checkInputDataTypes().isSuccess)
+    assert(byName("hyperplane_bucket")(Seq(arrF, k)).checkInputDataTypes().isSuccess)
   }
 }

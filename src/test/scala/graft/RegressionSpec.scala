@@ -82,6 +82,53 @@ class RegressionSpec extends AnyFunSuite {
       .agg(sum("doc_count")).collect().head.getLong(0) == 30)
   }
 
+  test("Runner: lineage repair also fires when the rerun has pending work") {
+    import spark.implicits._
+    val (outDir, metricsDir) = (tmp("rep2-out"), tmp("rep2-metrics"))
+    val gens = (0L until 40L).map(i => SyntheticDocs.generate(seed = 47, i))
+    val firstHalf = spark.createDataset(gens.take(20).map(_.raw))
+    val full = spark.createDataset(gens.map(_.raw))
+
+    // crash window: snapshot 0 committed, lineage missing
+    TableIO.commit(Pipeline.toDocsDF(Pipeline.extract(firstHalf)), outDir)
+    // rerun WITH pending work (20 new docs): snapshot 0's metrics must be
+    // reconstructed, not skipped
+    val r = Runner.run(full, outDir, metricsDir)
+    assert(r.docsProcessed == 20 && r.snapshotId == 1)
+    val metrics = TableIO.read(spark, metricsDir).get
+    val bySnap = metrics.groupBy("snapshot_id")
+      .agg(org.apache.spark.sql.functions.sum("doc_count").as("d"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(bySnap == Map(0L -> 20L, 1L -> 20L), bySnap)
+  }
+
+  test("Runner: reruns with only permanently-failing docs do not grow the snapshot chain") {
+    import spark.implicits._
+    val (outDir, metricsDir) = (tmp("fail-out"), tmp("fail-metrics"))
+    val ok = (0L until 10L).map(i => SyntheticDocs.generate(seed = 53, i).raw)
+    val bad = graft.model.RawDoc("doc-zzz", "no_such_dialect", "x", "", Nil, Nil)
+    val input = spark.createDataset(ok :+ bad)
+    val r1 = Runner.run(input, outDir, metricsDir)
+    assert(r1.snapshotId == 0 && r1.failures == 1)
+    val r2 = Runner.run(input, outDir, metricsDir)
+    val r3 = Runner.run(input, outDir, metricsDir)
+    // no empty snapshots appended for the failing remainder
+    assert(r2.snapshotId == 0 && r3.snapshotId == 0)
+    assert(r2.failures == 1 && r2.skippedAlreadyDone == 10)
+    assert(TableIO.currentSnapshot(outDir).get.snapshotId == 0)
+  }
+
+  test("HtmlExtract: text after </pre> or </blockquote> drops the closed flag") {
+    val spans = HtmlExtract.extract(
+      "<body><pre>code line</pre>tail text long enough to keep around" +
+        "<blockquote>a quote that is long enough</blockquote>after quote tail text</body>")
+      .spans.map(_.text)
+    assert(spans.contains("```\ncode line\n```"))
+    assert(spans.contains("tail text long enough to keep around"), spans)
+    assert(spans.contains("> a quote that is long enough"))
+    assert(spans.contains("after quote tail text"), spans)
+  }
+
   test("HtmlExtract: img/br inside a heading do not break heading context") {
     val html = "<body><h2>Start<img src='x.png'><br>rest of heading</h2><p>Paragraph text long enough to keep.</p></body>"
     val spans = HtmlExtract.extract(html).spans
