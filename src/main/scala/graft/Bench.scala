@@ -80,8 +80,8 @@ object Bench {
     val spark = mkSession(cpus)
     val (hn, _) = runJob(spark, scalePath) // warm-up
     // best-of-2: single wall-clock samples on this shared VM swing 2-3×
-    var hsec = Seq(runJob(spark, scalePath)._2, runJob(spark, scalePath)._2).min
-    var hdps = hn / hsec
+    val hsec = Seq(runJob(spark, scalePath)._2, runJob(spark, scalePath)._2).min
+    val hdps = hn / hsec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -90,6 +90,10 @@ object Bench {
     }
     spark.stop()
 
+    // best docs/sec seen at `cpus` across ALL measurement sessions this run
+    // (headline window + scaling samples); reported as a SEPARATE field so the
+    // headline's provenance stays a single measured run
+    var bestAcross = hdps
     val scalingJson = if (doScaling) {
       // two N→4N pairs, interleaved to decorrelate from host drift:
       //  2→8  measures scaling below this VM's memory-bus saturation point
@@ -100,17 +104,17 @@ object Bench {
       val (d2, d8, d32) = (best(2), best(8), best(32))
       val eff28 = d8 / (4.0 * d2)
       val eff832 = d32 / (4.0 * d8)
-      // the headline is the same job at `cpus`: fold in the scaling samples
-      // so one contended main-session window can't misreport it; keep the
-      // (docs, extract_sec, docs_per_sec) triple internally consistent
-      if (cpus == 32 && d32 > hdps) { hdps = d32; hsec = hn / d32 }
-      else if (cpus == 8 && d8 > hdps) { hdps = d8; hsec = hn / d8 }
+      // the scaling sessions re-run the same job at `cpus`: track the best
+      // across sessions without overwriting the measured headline
+      if (cpus == 32) bestAcross = math.max(bestAcross, d32)
+      else if (cpus == 8) bestAcross = math.max(bestAcross, d8)
+      else if (cpus == 2) bestAcross = math.max(bestAcross, d2)
       f"""{"docs":$scaleDocs,"pairs":[{"n_cpus":2,"n4_cpus":8,"docs_per_sec_n":$d2%.1f,"docs_per_sec_4n":$d8%.1f,"efficiency":$eff28%.3f},{"n_cpus":8,"n4_cpus":32,"docs_per_sec_n":$d8%.1f,"docs_per_sec_4n":$d32%.1f,"efficiency":$eff832%.3f}],"efficiency":$eff28%.3f}"""
     } else "null"
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + hsec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$hn,"extract_sec":$hsec%.3f,"docs_per_sec":$hdps%.1f,"scaling":$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$hn,"extract_sec":$hsec%.3f,"docs_per_sec":$hdps%.1f,"docs_per_sec_best_across_sessions":$bestAcross%.1f,"scaling":$scalingJson}""")
   }
 }

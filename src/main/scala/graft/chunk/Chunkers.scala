@@ -13,6 +13,14 @@ object Chunkers {
 
   private val ImageRefRe = """!\[([^\]]*)\]\(([^)]+)\)""".r
   private val HeaderRe = """^(#{1,6})\s+(.+)$""".r
+  private val LineBreakRe = java.util.regex.Pattern.compile("\r\n|\r|\n")
+
+  /** Python `splitlines()`-compatible split for the common line separators:
+    * the reference chunkers split with `splitlines()`, so externally-supplied
+    * markdown containing `\r\n`/`\r` must chunk identically (internally
+    * rendered markdown only ever emits `\n`).
+    */
+  private def splitLines(text: String): Array[String] = LineBreakRe.split(text, -1)
 
   /** Images referenced in a chunk's content, in reference order
     * (markdown_chunker/utils.py:15-31): every `![alt](path)` whose path is a
@@ -33,7 +41,7 @@ object Chunkers {
     var header = ""
     var level = 0
     val content = ArrayBuffer.empty[String]
-    text.split("\n", -1).foreach {
+    splitLines(text).foreach {
       case HeaderRe(hashes, title) =>
         if (content.nonEmpty) { out += ((header, content.mkString("\n"), level)); content.clear() }
         level = hashes.length
@@ -125,7 +133,7 @@ object Chunkers {
     val content = Markdown.render(doc.spans).stripSuffix("\n")
     val media = if (mediaFiles.nonEmpty) mediaFiles
       else doc.spans.filter(_.kind == graft.model.SpanKind.Image).map(_.media_ref)
-    val lines = content.split("\n", -1)
+    val lines = splitLines(content)
     val chunks = ArrayBuffer.empty[Chunk]
     var startIdx = 0
     var lastStartLine = -1
@@ -157,17 +165,22 @@ object Chunkers {
   def addChunkBoundaries(content: String, chunks: Seq[Chunk]): String = {
     if (chunks.isEmpty) return content
     val sorted = chunks.sortBy(c => if (c.start_line > 0) c.start_line else c.chunk_index)
+    // the reference injects keywords AND the chunk's remaining metadata as
+    // extra_data (chunkers/base.py:131-135,148-156) — start/end line and
+    // token_count are structural, not payload, and are excluded there too
+    def boundary(c: Chunk): String =
+      Markdown.createChunkBoundary(c.chunk_index, c.keywords, c.extra_data.toSeq)
     val first = sorted.head
     if (first.start_line <= 0) {
       // no line metadata: boundary for the first chunk at the very top
-      Markdown.createChunkBoundary(first.chunk_index) + "\n" + content
+      boundary(first) + "\n" + content
     } else {
-      val lines = content.split("\n", -1)
+      val lines = splitLines(content)
       val out = ArrayBuffer.empty[String]
       sorted.zipWithIndex.foreach { case (c, i) =>
         val startIdx = math.max(0, c.start_line - 1)
         if (i == 0) out ++= lines.take(startIdx)
-        out += Markdown.createChunkBoundary(c.chunk_index)
+        out += boundary(c)
         if (i == sorted.length - 1) out ++= lines.drop(startIdx)
         else {
           val nextStart = math.max(0, sorted(i + 1).start_line - 1)

@@ -72,6 +72,11 @@ object HtmlExtract {
     val tableRows = ArrayBuffer.empty[ArrayBuffer[String]]
     var cellBuf = new StringBuilder
     var inCell = false
+    // <caption> is table-internal text outside any cell — a real-page case
+    // that must surface as its own text block, not vanish
+    var captionBuf = new StringBuilder
+    var inCaption = false
+    var tableCaption = ""
 
     def flush(): Unit = {
       val trimmed = cur.text.toString.trim
@@ -94,6 +99,12 @@ object HtmlExtract {
 
     def emitTable(): Unit = {
       flush()
+      if (tableCaption.nonEmpty) {
+        val b = new Block(new StringBuilder(tableCaption))
+        b.inBoiler = boilerDepth > 0
+        blocks += b
+        tableCaption = ""
+      }
       val rows = tableRows.filter(_.exists(_.nonEmpty))
       if (rows.nonEmpty) {
         val width = rows.map(_.length).max
@@ -148,6 +159,8 @@ object HtmlExtract {
                     case "tr" if tableDepth > 0 => tableRows += ArrayBuffer.empty[String]
                     case "td" | "th" if tableDepth > 0 =>
                       inCell = true; cellBuf = new StringBuilder
+                    case "caption" if tableDepth > 0 =>
+                      inCaption = true; captionBuf = new StringBuilder
                     case t if BoilerContainers.contains(t) =>
                       flush(); boilerDepth += 1; cur.inBoiler = true
                     case t if BlockTags.contains(t) =>
@@ -179,6 +192,9 @@ object HtmlExtract {
                         tableRows.last += collapseWs(cellBuf.toString.trim).replace("|", "\\|")
                         inCell = false
                       }
+                    case "caption" if inCaption =>
+                      tableCaption = collapseWs(captionBuf.toString.trim)
+                      inCaption = false
                     case t if BoilerContainers.contains(t) =>
                       flush(); boilerDepth = math.max(0, boilerDepth - 1)
                       cur.inBoiler = boilerDepth > 0
@@ -200,6 +216,8 @@ object HtmlExtract {
           if (linkDepth > 0) cur.linkChars += txt.count(!_.isWhitespace)
         } else if (skipDepth == 0 && inCell) {
           cellBuf ++= decodeEntities(html.substring(i, stop))
+        } else if (skipDepth == 0 && inCaption) {
+          captionBuf ++= decodeEntities(html.substring(i, stop))
         }
         i = stop
       }

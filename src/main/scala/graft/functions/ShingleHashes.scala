@@ -57,7 +57,9 @@ object ShingleHashes {
     val len = bytes.length
     while (i < len && (maxTokens == 0 || wordHashes.size < maxTokens)) {
       val b = bytes(i)
-      val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      // match Java \s (Dedup.words splits on \s+): include \x0B and \f so the
+      // hash-shingle and string-shingle tokenizations agree on all inputs
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
       if (isWs) {
         if (inWord) { wordHashes.add(mix(h)); h = 0x811c9dc5L; inWord = false }
       } else {

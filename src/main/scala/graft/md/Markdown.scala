@@ -41,11 +41,26 @@ object Markdown {
   def createImageReference(id: String, filename: String): String =
     s"![$id]($filename)"
 
-  def createChunkBoundary(chunkId: Int, keywords: Seq[String] = Nil): String = {
+  /** Reference `mkdown.create_chunk_boundary(chunk_id=, keywords=, extra_data=)`
+    * (chunkers/base.py:131-135; mkdown is not vendored, so the payload shape is
+    * a documented reconstruction): JSON object with `chunk_id`, optional
+    * `keywords` array, then the extra_data entries merged at top level in
+    * sorted-key order (deterministic; `chunk_id`/`keywords` never overridden).
+    */
+  def createChunkBoundary(
+      chunkId: Int,
+      keywords: Seq[String] = Nil,
+      extraData: Seq[(String, String)] = Nil): String = {
+    def js(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val kw =
       if (keywords.isEmpty) ""
-      else keywords.map(k => "\"" + k.replace("\"", "\\\"") + "\"").mkString(""","keywords":[""", ",", "]")
-    s"""<!-- docler:chunk_boundary {"chunk_id":$chunkId$kw} -->"""
+      else keywords.map(js).mkString(""","keywords":[""", ",", "]")
+    val extraFields = extraData
+      .filter { case (k, _) => k != "chunk_id" && k != "keywords" }
+      .sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}:${js(v)}" }
+    val ex = if (extraFields.isEmpty) "" else extraFields.mkString(",", ",", "")
+    s"""<!-- docler:chunk_boundary {"chunk_id":$chunkId$kw$ex} -->"""
   }
 
   def pageBreakSpan(nextPage: Int, offset: Int): Span =

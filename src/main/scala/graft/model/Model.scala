@@ -61,7 +61,9 @@ final case class Chunk(
     level: Int = 0,
     start_line: Int = 0,
     end_line: Int = 0,
-    token_count: Int = 0)
+    token_count: Int = 0,
+    keywords: Seq[String] = Nil,
+    extra_data: Map[String, String] = Map.empty)
 
 /** Per-partition lineage/metrics row (north-rule resumability;
   * mirrors docler's `Conversion` progress state, converters/dir_converter.py:22-45).

@@ -87,10 +87,18 @@ object Dedup {
     val rows = k / bands
     // candidate generation carries ONLY (band keys, id): the shingle arrays
     // never ride the banded self-join (they did in a first cut — 18× slower:
-    // every false candidate shipped two ~170-element string arrays)
+    // every false candidate shipped two ~170-element string arrays).
+    // Docs with no shingles (< shingleN words) would all share the K×(-1)
+    // sentinel signature — one hot band key and a quadratic join blowup on
+    // short-doc-heavy corpora — so they are dropped before banding, mirroring
+    // the simhashPairs zero-token guard (they can never verify anyway:
+    // Jaccard over an empty set is 0).
     val banded = docs
       .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), k, shingleN).as("sig"))
+        shingleHashes(col(textCol), shingleN).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("toks"), k).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))

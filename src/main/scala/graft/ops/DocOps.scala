@@ -12,20 +12,77 @@ object DocOps {
 
   // ----------------------------------------------------------- MIME registry
 
-  /** Extension → MIME map (subset mirroring the reference's constant table,
-    * mime_types.py:124-166). Broadcast-friendly: tiny immutable map, used via
-    * a literal map column so Catalyst constant-folds lookups.
+  /** Extension → MIME map — the reference's full constant table
+    * (mime_types.py:124-167, all 38 entries). Broadcast-friendly: tiny
+    * immutable map, used via a literal map column so Catalyst constant-folds
+    * lookups.
     */
   val ExtToMime: Map[String, String] = Map(
     "txt" -> "text/plain", "md" -> "text/markdown", "pdf" -> "application/pdf",
     "html" -> "text/html", "htm" -> "text/html",
     "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "xls" -> "application/vnd.ms-excel",
+    "xlsm" -> "application/vnd.ms-excel.sheet.macroEnabled.12",
+    "xlsb" -> "application/vnd.ms-excel.sheet.binary.macroEnabled.12",
+    "xlam" -> "application/vnd.ms-excel.addin.macroEnabled.12",
+    "xla" -> "application/vnd.ms-excel.template.macroEnabled.12",
+    "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
-    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "bmp" -> "image/bmp", "gif" -> "image/gif", "jpg" -> "image/jpeg",
     "jpeg" -> "image/jpeg", "png" -> "image/png", "tiff" -> "image/tiff",
-    "tif" -> "image/tiff", "webp" -> "image/webp", "svg" -> "image/svg+xml",
-    "epub" -> "application/epub+zip", "rst" -> "text/x-rst", "org" -> "text/org")
+    "tif" -> "image/tiff", "webp" -> "image/webp",
+    "jp2" -> "image/jp2", "jpx" -> "image/jpx", "jpm" -> "image/jpm",
+    "mj2" -> "image/mj2", "pnm" -> "image/x-portable-anymap",
+    "pbm" -> "image/x-portable-bitmap", "pgm" -> "image/x-portable-graymap",
+    "ppm" -> "image/x-portable-pixmap",
+    "csv" -> "text/csv", "tsv" -> "text/tab-separated-values",
+    "rst" -> "text/x-rst", "org" -> "text/x-org",
+    "epub" -> "application/epub+zip", "rtf" -> "application/rtf",
+    "odt" -> "application/vnd.oasis.opendocument.text",
+    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "doc" -> "application/msword", "bib" -> "application/x-bibtex",
+    "ipynb" -> "application/x-ipynb+json", "tex" -> "application/x-latex")
+
+  /** MIME → image filename extension (mime_types.py:63-82). */
+  val ImageMimeToExt: Map[String, String] = Map(
+    "image/bmp" -> "bmp", "image/x-bmp" -> "bmp", "image/x-ms-bmp" -> "bmp",
+    "image/gif" -> "gif", "image/jpeg" -> "jpg", "image/pjpeg" -> "jpg",
+    "image/png" -> "png", "image/tiff" -> "tiff", "image/x-tiff" -> "tiff",
+    "image/jp2" -> "jp2", "image/jpx" -> "jpx", "image/jpm" -> "jpm",
+    "image/mj2" -> "mj2", "image/webp" -> "webp",
+    "image/x-portable-anymap" -> "pnm", "image/x-portable-bitmap" -> "pbm",
+    "image/x-portable-graymap" -> "pgm", "image/x-portable-pixmap" -> "ppm")
+
+  /** The reference's SUPPORTED union (mime_types.py:169-175): plain-text +
+    * image + pandoc-supported + spreadsheet + {pdf, pptx, html}.
+    */
+  val SupportedMimeTypes: Set[String] = {
+    val plain = Set("text/plain", "text/markdown")
+    val images = ImageMimeToExt.keySet
+    val pandoc = Set(
+      "application/csl+json", "application/docbook+xml", "application/epub+zip",
+      "application/rtf", "application/vnd.oasis.opendocument.text",
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      "application/x-biblatex", "application/x-bibtex",
+      "application/x-endnote+xml", "application/x-fictionbook+xml",
+      "application/x-ipynb+json", "application/x-jats+xml", "application/x-latex",
+      "application/x-opml+xml", "application/x-research-info-systems",
+      "application/x-typst", "text/csv", "text/tab-separated-values",
+      "text/troff", "text/x-commonmark", "text/x-dokuwiki", "text/x-gfm",
+      "text/x-markdown", "text/x-markdown-extra", "text/x-mdoc",
+      "text/x-multimarkdown", "text/x-org", "text/x-pod", "text/x-rst")
+    val spreadsheets = Set(
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+      "application/vnd.ms-excel", "application/vnd.ms-excel.sheet.macroEnabled.12",
+      "application/vnd.ms-excel.sheet.binary.macroEnabled.12",
+      "application/vnd.ms-excel.addin.macroEnabled.12",
+      "application/vnd.ms-excel.template.macroEnabled.12",
+      "application/vnd.oasis.opendocument.spreadsheet")
+    plain ++ images ++ pandoc ++ spreadsheets ++ Set(
+      "application/pdf",
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+      "text/html")
+  }
 
   private lazy val mimeMapCol: Column =
     typedlit(ExtToMime)
