@@ -124,7 +124,7 @@ object SparkEntry {
       Dedup.jaccardPairs(
         tbl(s, dir, "documents").filter(col("doc_id") < 500)
           .repartition(s.sparkContext.defaultParallelism),
-        threshold = 0.18, shingleN = 3)),
+        threshold = 0.18, shingleN = 3, maxDocFreq = 50)),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(
         tbl(s, dir, "documents").filter(col("doc_id") < 500)
@@ -234,15 +234,25 @@ object SparkEntry {
         .groupBy(col("matches")).agg(count(lit(1)).as("n_docs"))
     }),
     // ------------------------------------------------ multimodal plumbing
-    "q_media_features" -> ((s, dir) => {
-      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir))).toDF()
-      Multimodal.extractFeatures(Multimodal.syntheticMediaTable(s, docs)).toDF()
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.docDerivedMediaTable(tbl(s, dir, "documents"))).toDF()
         .select("doc_id", "media_ref", "mime_type", "byte_len", "width", "height",
-          "channels", "mean_luma", "phash")
-    }),
-    "q_frame_sample" -> ((s, dir) => {
-      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir))).toDF()
-      Multimodal.sampleFrames(Multimodal.syntheticMediaTable(s, docs))
+          "channels", "mean_luma", "phash")),
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.docDerivedMediaTable(tbl(s, dir, "documents")))),
+    "q_media_table" -> ((s, dir) => {
+      // the REAL extraction sidecar: (doc_id, media_ref, mime_type, content)
+      // projected from the docs table's media column; summarized per mime.
+      // No SQL oracle (input is the synthetic corpus) — payloads are golden-
+      // verified in MediaSidecarSpec instead.
+      val docs = Pipeline.toDocsDF(Pipeline.extract(rawDocs(s, dir)))
+      Pipeline.toMediaDF(docs)
+        .groupBy(col("mime_type"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(length(col("content")) > 0, 1).otherwise(0)).as("n_with_payload"),
+          sum(length(col("content"))).as("total_bytes"))
     }))
 
   /** DuckDB-runnable oracles, column-aligned with the Spark results. Queries
@@ -354,10 +364,15 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          string_split_regex(trim(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+') AS ws
         |        FROM documents WHERE doc_id < 500)
-        |), sized AS (
-        |  SELECT doc_id, shs, len(shs) AS n_sh FROM sh WHERE len(shs) > 0
+        |), inv0 AS (
+        |  SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE len(shs) > 0
+        |), inv1 AS (
+        |  SELECT doc_id, shingle FROM inv0
+        |  WHERE shingle NOT IN (SELECT shingle FROM inv0 GROUP BY 1 HAVING count(*) > 50)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM inv1 GROUP BY 1
         |), inv AS (
-        |  SELECT doc_id, n_sh, unnest(shs) AS shingle FROM sized
+        |  SELECT inv1.doc_id, sizes.n_sh, inv1.shingle FROM inv1 JOIN sizes USING (doc_id)
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(count(*) / (CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE)), 6) AS jaccard

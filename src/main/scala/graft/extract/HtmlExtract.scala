@@ -50,18 +50,22 @@ object HtmlExtract {
       else linkChars.toDouble / totalChars
   }
 
-  final case class Extracted(spans: Seq[Span], images: Seq[NormImage])
+  /** @param title the document's <title> text ("" when absent) — the
+    *               converter-provided title of the Document assembly
+    *               (converters/base.py:208: `result.title or path.stem`)
+    */
+  final case class Extracted(spans: Seq[Span], images: Seq[NormImage], title: String = "")
 
   /** Extract main-content spans from an HTML document. Deterministic. */
   def extract(html: String): Extracted = {
-    val blocks = segment(html)
+    val (blocks, title) = segment(html)
     val kept = classify(blocks)
-    toSpans(kept)
+    toSpans(kept, title)
   }
 
   // ------------------------------------------------------------- lexer+segmenter
 
-  private def segment(html: String): IndexedSeq[Block] = {
+  private def segment(html: String): (IndexedSeq[Block], String) = {
     val blocks = ArrayBuffer.empty[Block]
     var cur = new Block
     val tagStack = ArrayBuffer.empty[String]
@@ -77,6 +81,10 @@ object HtmlExtract {
     var captionBuf = new StringBuilder
     var inCaption = false
     var tableCaption = ""
+    // <title> lives inside <head> (SkipContent) — captured independently of
+    // the skip state so the Document assembly can use it as the title
+    val titleBuf = new StringBuilder
+    var inTitle = false
 
     def flush(): Unit = {
       val trimmed = cur.text.toString.trim
@@ -138,7 +146,9 @@ object HtmlExtract {
             val nameEnd0 = inner.drop(if (closing) 1 else 0)
             val name = nameEnd0.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
             if (name.nonEmpty) {
-              if (SkipContent.contains(name)) {
+              if (name == "title") {
+                inTitle = !closing && !inner.endsWith("/")
+              } else if (SkipContent.contains(name)) {
                 if (!closing && !inner.endsWith("/")) skipDepth += 1
                 else if (closing && skipDepth > 0) skipDepth -= 1
               } else if (skipDepth == 0) {
@@ -210,7 +220,9 @@ object HtmlExtract {
       } else {
         val next = html.indexOf('<', i)
         val stop = if (next < 0) n else next
-        if (skipDepth == 0 && tableDepth == 0) {
+        if (inTitle) {
+          titleBuf ++= decodeEntities(html.substring(i, stop))
+        } else if (skipDepth == 0 && tableDepth == 0) {
           val txt = decodeEntities(html.substring(i, stop))
           cur.text ++= txt
           if (linkDepth > 0) cur.linkChars += txt.count(!_.isWhitespace)
@@ -223,7 +235,7 @@ object HtmlExtract {
       }
     }
     flush()
-    blocks.toIndexedSeq
+    (blocks.toIndexedSeq, collapseWs(titleBuf.toString.trim))
   }
 
   // --------------------------------------------------------------- classifier
@@ -245,7 +257,7 @@ object HtmlExtract {
 
   // ------------------------------------------------------------------ emitter
 
-  private def toSpans(blocks: IndexedSeq[Block]): Extracted = {
+  private def toSpans(blocks: IndexedSeq[Block], title: String): Extracted = {
     val spans = ArrayBuffer.empty[Span]
     val images = ArrayBuffer.empty[NormImage]
     blocks.foreach { b =>
@@ -266,7 +278,7 @@ object HtmlExtract {
         spans += Span(SpanKind.Image, id, filename, spans.length)
       }
     }
-    Extracted(spans.toSeq, images.toSeq)
+    Extracted(spans.toSeq, images.toSeq, title)
   }
 
   // -------------------------------------------------------------------- utils

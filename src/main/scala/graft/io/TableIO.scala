@@ -52,6 +52,45 @@ object TableIO {
     }
   }
 
+  /** A staged (written but not yet visible) snapshot: data may exist under
+    * [[dataPath]], but no manifest/pointer references it. Crashing between
+    * stage and finalize leaves only an orphan data dir, removed by the next
+    * [[cleanOrphans]] sweep — same crash window as the one-shot [[commit]].
+    */
+  final case class Staged(tableDir: String, id: Long, parent: Option[Snapshot]) {
+    def dataDirName: String = s"data-$id"
+    def dataPath: String = s"$tableDir/$dataDirName"
+  }
+
+  /** Reserve the next snapshot id and clean crashed-commit leftovers; the
+    * caller writes parquet to `staged.dataPath`, then [[finalizeStaged]] (or
+    * [[abortStaged]] if the batch turned out empty).
+    */
+  def stage(tableDir: String): Staged = {
+    Files.createDirectories(Paths.get(tableDir))
+    val parent = currentSnapshot(tableDir)
+    val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+    cleanOrphans(tableDir, sinceExclusive = id - 1)
+    Staged(tableDir, id, parent)
+  }
+
+  /** Make a staged write visible: manifest second, `current` pointer last
+    * (atomic rename) — the Iceberg commit order.
+    */
+  def finalizeStaged(spark: SparkSession, staged: Staged): Snapshot = {
+    val rows = spark.read.parquet(staged.dataPath).count()
+    val snap = Snapshot(staged.id, staged.parent.map(_.snapshotId).getOrElse(-1L),
+      staged.parent.map(_.dataDirs).getOrElse(Nil) :+ staged.dataDirName,
+      staged.parent.map(_.rowCount).getOrElse(0L) + rows,
+      System.currentTimeMillis())
+    writeManifest(staged.tableDir, snap)
+    snap
+  }
+
+  /** Drop a staged write that will not be committed (e.g. zero rows). */
+  def abortStaged(staged: Staged): Unit =
+    deleteRecursively(new java.io.File(staged.dataPath))
+
   /** Append `df` as a new snapshot; returns the committed snapshot.
     * Data is written first, the manifest second, the `current` pointer last
     * (atomic rename) — the Iceberg commit order. Before writing, any
@@ -61,19 +100,9 @@ object TableIO {
     * instead of failing on PATH_ALREADY_EXISTS forever.
     */
   def commit(df: DataFrame, tableDir: String): Snapshot = {
-    Files.createDirectories(Paths.get(tableDir))
-    val parent = currentSnapshot(tableDir)
-    val id = parent.map(_.snapshotId + 1).getOrElse(0L)
-    cleanOrphans(tableDir, sinceExclusive = id - 1)
-    val dataDir = s"data-$id"
-    df.write.mode("errorifexists").parquet(s"$tableDir/$dataDir")
-    val rows = df.sparkSession.read.parquet(s"$tableDir/$dataDir").count()
-    val snap = Snapshot(id, parent.map(_.snapshotId).getOrElse(-1L),
-      parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir,
-      parent.map(_.rowCount).getOrElse(0L) + rows,
-      System.currentTimeMillis())
-    writeManifest(tableDir, snap)
-    snap
+    val staged = stage(tableDir)
+    df.write.mode("errorifexists").parquet(staged.dataPath)
+    finalizeStaged(df.sparkSession, staged)
   }
 
   private def writeManifest(tableDir: String, s: Snapshot): Unit = {

@@ -29,8 +29,21 @@ object SpanKind {
   */
 final case class Span(kind: String, text: String, media_ref: String, offset: Int)
 
+/** One sidecar media payload carried on a [[Doc]] (docler `Image` content;
+  * reference docler_api/routes.py:62-64). Bytes may be empty when the source
+  * payload carried only a reference (the reference fetches such bytes from
+  * the provider service — a path that does not exist in-table).
+  */
+final case class MediaItem(media_ref: String, mime_type: String, content: Array[Byte])
+
 /** A document row: the unit of the pipeline (docler `Document`,
-  * reference models.py:8 / converters/base.py:205-212).
+  * reference models.py:8 / converters/base.py:204-223).
+  *
+  * `media` rides as a separate column of the same row (not a separate table):
+  * parquet is columnar, so span-only readers never touch the payload bytes,
+  * and the single-pass commit writes both without a second job or a second
+  * crash window. The standalone media table is the projection
+  * [[graft.pipeline.Pipeline.toMediaDF]].
   */
 final case class Doc(
     doc_id: String,
@@ -38,7 +51,9 @@ final case class Doc(
     title: String = "",
     source_path: String = "",
     mime_type: String = "",
-    page_count: Int = 0)
+    page_count: Int = 0,
+    media: Seq[MediaItem] = Nil,
+    metadata: Map[String, String] = Map.empty)
 
 /** Sidecar media row (docler `Image` model; payload bytes kept out of the hot
   * span table — reference docler_api/routes.py:62-64).

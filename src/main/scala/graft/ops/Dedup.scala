@@ -170,17 +170,41 @@ object Dedup {
 
   /** N-gram Jaccard similarity pairs via an inverted-index join (SQL-exact,
     * oracle-checkable): explode distinct shingles, equi-join on shingle,
-    * count common, Jaccard from per-doc distinct counts. The join key is the
-    * shingle — frequency-skewed shingles are the classic hot key, so AQE skew
-    * join handles the tail (and a stopword-shingle filter would cap it).
+    * count common, Jaccard from per-doc distinct counts.
+    *
+    * The join key is the shingle — frequency-skewed shingles are the classic
+    * hot key (a stopword-ish shingle in df docs contributes O(df²) join
+    * rows), so `maxDocFreq > 0` applies the standard document-frequency cap:
+    * shingles appearing in more than `maxDocFreq` docs are dropped from the
+    * index AND from the per-doc set sizes, i.e. Jaccard is computed exactly
+    * over the capped shingle universe (the CCNet/Gopher-style trick; a SQL
+    * oracle mirrors it with the same df filter). AQE skew join remains the
+    * backstop for the sub-cap tail.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      maxDocFreq: Int = 0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .filter(size(col("sh")) > 0)
+    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv1 =
+      if (maxDocFreq <= 0) inv0
+      else {
+        // shingles are distinct per doc, so count(*) per shingle == df;
+        // the hot list is small (ubiquitous shingles) → AQE broadcasts the
+        // anti-join when it fits
+        val hot = inv0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select("shingle")
+        inv0.join(hot, Seq("shingle"), "left_anti")
+      }
+    // per-doc set size AFTER the cap, so jaccard is exact over the capped
+    // universe (docs whose shingles were all capped drop out: they cannot
+    // contribute a pair)
+    val sizes = inv1.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inv = inv1.join(sizes, Seq("doc_id"))
     val l = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val r = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     l.join(r, Seq("shingle"))

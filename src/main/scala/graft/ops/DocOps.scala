@@ -196,8 +196,17 @@ object DocOps {
         title = if (d.title.nonEmpty) d.title else d.doc_id,
         sourcePath = d.source_path, mimeType = d.mime_type,
         pageCount = Markdown.pageCount(d.spans))
+      // file list = referenced images (the snapshot's sorted file list);
+      // payloads come from the sidecar media column where the source carried
+      // bytes (base64-encoded here — the content column is string-typed)
+      val payload: Map[String, Array[Byte]] =
+        d.media.map(m => m.media_ref -> m.content).toMap
       val images = d.spans.filter(_.kind == SpanKind.Image)
-        .map(s => (d.doc_id, s.media_ref, ""))
+        .map { s =>
+          val bytes = payload.getOrElse(s.media_ref, Array.emptyByteArray)
+          val b64 = if (bytes.isEmpty) "" else java.util.Base64.getEncoder.encodeToString(bytes)
+          (d.doc_id, s.media_ref, b64)
+        }
       ((d.doc_id, "document.md", md) +: images).sortBy(_._2)
     }.toDF("doc_id", "filename", "content")
   }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * container): `FakeCodec` produces deterministic pseudo-features from the
   * bytes, so the Spark-side plumbing — schema, partitioning, batch shape,
   * null/err handling — is real and tested, and swapping in a real codec is a
-  * one-function change.
+  * one-function change. The stub arithmetic is mod-(2^31-1) byte folding, so
+  * a SQL oracle (DuckDB) reproduces every feature exactly.
   */
 object Multimodal {
 
@@ -34,26 +35,47 @@ object Multimodal {
       phash: Long,
       decode_error: String)
 
+  /** The real extraction sidecar as a typed media table: payload bytes from
+    * the docs table's media column (parquet column pruning — span readers
+    * never touch it).
+    */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.pipeline.Pipeline.toMediaDF(docs).as[MediaRow]
+  }
+
   /** STUB codec: deterministic pseudo-decode. A real deployment swaps this
     * single function for an ImageIO/ffmpeg call — everything around it
-    * (schema, batching, error capture) is production-shaped.
+    * (schema, batching, error capture) is production-shaped. All arithmetic
+    * is mod 2^31-1 (no 64-bit wraparound), so the features are reproducible
+    * in ANSI SQL engines for oracle checking.
     */
   object FakeCodec {
+    final val P: Long = 2147483647L // 2^31 - 1
+
+    /** (h*31 + byte) mod P fold — the same shape as TextAnalysis.fingerprint. */
+    def foldHash(bytes: Array[Byte]): Long = {
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xffL)) % P; i += 1 }
+      h
+    }
+
     def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int, Double, Long) = {
       if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
-      val width = 16 + math.floorMod(h, 1024).toInt
-      val height = 16 + math.floorMod(h >>> 16, 1024).toInt
+      val h = foldHash(bytes)
+      val width = 16 + (h % 1024).toInt
+      val height = 16 + ((h / 1024) % 1024).toInt
       val channels = if (mime.contains("png")) 4 else 3
-      val luma = math.floorMod(h >>> 8, 256).toDouble / 255.0
+      val luma = math.rint(((h / 16) % 256).toDouble / 255.0 * 10000) / 10000
       (width, height, channels, luma, h)
     }
   }
 
   /** Feature extraction over the media table: batched per-partition map.
-    * Decode failures become rows with `decode_error` set (lineage-friendly),
+    * Decode failures (including payload-less refs, where the source carried
+    * only a reference) become rows with `decode_error` set (lineage-friendly),
     * never task failures.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -64,8 +86,7 @@ object Multimodal {
         try {
           val (w, h, c, luma, ph) = FakeCodec.decode(r.mime_type, r.content)
           MediaFeatures(r.doc_id, r.media_ref, r.mime_type,
-            if (r.content == null) 0 else r.content.length, w, h, c,
-            math.rint(luma * 10000) / 10000, ph, "")
+            if (r.content == null) 0 else r.content.length, w, h, c, luma, ph, "")
         } catch {
           case e: Exception =>
             MediaFeatures(r.doc_id, r.media_ref, r.mime_type,
@@ -77,32 +98,39 @@ object Multimodal {
   }
 
   /** Frame-sampling plumbing for video-shaped payloads: emits one row per
-    * sampled frame index (uniform stride), payload decode stubbed. Shows the
-    * 1→N generator shape with bounded output.
+    * sampled frame index (uniform stride), payload decode stubbed (the
+    * pseudo frame count is the portable byte fold). Shows the 1→N generator
+    * shape with bounded output.
     */
   def sampleFrames(media: Dataset[MediaRow], everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
-      val pseudoFrameCount = 1 + math.floorMod(
-        r.media_ref.hashCode.toLong + (if (r.content == null) 0 else r.content.length), 300).toInt
+      val bytes = if (r.content == null) Array.emptyByteArray else r.content
+      val pseudoFrameCount = 1 + ((FakeCodec.foldHash(bytes) + bytes.length) % 300).toInt
       (0 until pseudoFrameCount by everyNth).take(maxFrames).map { f =>
         (r.doc_id, r.media_ref, f, pseudoFrameCount)
       }
     }.toDF("doc_id", "media_ref", "frame_idx", "n_frames")
   }
 
-  /** Build a deterministic media table from docs' image spans (payload bytes
-    * synthesized from the ref — the fixture path; production reads the real
-    * sidecar table).
+  /** A deterministic media table DERIVED FROM the relational `documents`
+    * table (payload = UTF-8 of "doc_id:source") — the oracle-checkable input
+    * for the feature/frame plumbing, since the real extraction sidecar's
+    * synthetic corpus is not visible to the SQL oracle. Every third doc
+    * carries a png, every sixth additionally a jpg.
     */
-  def syntheticMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def docDerivedMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), explode(col("spans")).as("s"))
-      .filter(col("s.kind") === "image")
-      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
-      .withColumn("mime_type", concat(lit("image/"), regexp_extract(col("media_ref"), "\\.(\\w+)$", 1)))
-      .as[(String, String, String)]
-      .map { case (id, ref, mime) => MediaRow(id, ref, mime, s"$id/$ref".getBytes("UTF-8")) }
+    documents.select(col("doc_id").cast("string").as("doc_id"), col("source"))
+      .as[(String, String)]
+      .flatMap { case (id, source) =>
+        val payload = s"$id:$source".getBytes("UTF-8")
+        val n = id.toLong
+        val png = if (n % 3 == 0) Seq(MediaRow(id, "img-0.png", "image/png", payload)) else Nil
+        val jpg = if (n % 6 == 0) Seq(MediaRow(id, "img-1.jpg", "image/jpeg", payload)) else Nil
+        png ++ jpg
+      }
   }
 }

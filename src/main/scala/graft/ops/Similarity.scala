@@ -1,29 +1,41 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`), Spark-native: the dot product is `zip_with` +
-  * `aggregate` (codegen'd HOFs — no UDF), candidate generation is either
-  * brute-force (baseline) or IVF cells (scale path).
+  * (`array<float>`), Spark-native. The dot product is a fused native
+  * Catalyst expression ([[graft.functions.CosineSim]]); the per-query top-k
+  * is a bounded [[graft.functions.TopKByScore]] aggregate (map-side partial
+  * top-k, k rows per partition through the shuffle) — NOT a
+  * `row_number().over(window)` that would sort the full candidate set
+  * through one exchange per query partition.
   */
 object Similarity {
 
   /** Cosine similarity between two float/double arrays, computed in double —
-    * a native fused-loop Catalyst expression with codegen. The pure-HOF
-    * formulation (`aggregate(zip_with(...))` for dot plus two norm passes)
-    * walks the arrays three times through interpreted lambda eval; the
-    * native loop is ~10× faster per pair.
+    * a native fused-loop Catalyst expression with codegen, rounded to 6
+    * decimals (oracle-aligned). The pure-HOF formulation
+    * (`aggregate(zip_with(...))` for dot plus two norm passes) walks the
+    * arrays three times through interpreted lambda eval; the native loop is
+    * ~10× faster per pair.
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosineSim(a, b)
 
+  /** (query_id, rank, corpus_id, cosine) from scored pairs via the bounded
+    * top-k aggregate: one partial-agg shuffle, no window sort.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(col("cosine"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("corpus_id"), col("t.score").as("cosine"))
+
   /** Brute-force top-k cosine neighbors for every query vector: the exact
     * baseline. queries ⨯ corpus via broadcast of the (small) query side —
-    * Catalyst broadcasts automatically below the threshold; at scale, cap the
-    * query batch instead of growing the broadcast.
+    * at scale, cap the query batch instead of growing the broadcast.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -31,25 +43,25 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: assign every vector to its nearest of
-    * `nCells` centroids (deterministic centroid choice: the vectors whose
-    * xxhash64(id) is smallest — a seeded sample without an RNG), then search
-    * only within the query's `nProbe` nearest cells.
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of `nCells`
+    * centroids, then search only within the query's `nProbe` nearest cells.
     *
-    * At 100 TB the cell assignment is one broadcast-join map pass and the
-    * search shuffle is bounded by cell size, not corpus size.
+    * Centroid choice is deterministic AND engine-portable: the `nCells`
+    * vectors with lexicographically smallest `md5(id)` — a seeded sample
+    * without an RNG that a SQL oracle reproduces exactly. The centroids are
+    * collected to the driver (nCells rows — model constants, like a KMeans
+    * model) and inlined as a literal array, so cell ASSIGNMENT is a pure
+    * per-row projection: zero joins, zero shuffles over the corpus. At 100 TB
+    * the only corpus-wide exchange left is the final per-query top-k partial
+    * aggregation, bounded by probed-cell size.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -59,42 +71,49 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
 
-    // deterministic "sampled" centroids
-    val centroids = c.withColumn("h", xxhash64(col("corpus_id")))
+    // deterministic "sampled" centroids, cell_id = rank in md5 order
+    val centroids: Seq[(Int, Seq[Float])] = c
+      .withColumn("h", md5(col("corpus_id").cast("string")))
       .orderBy(col("h")).limit(nCells)
-      .select(monotonically_increasing_id().as("cell_id"), col("corpus_vec").as("centroid"))
-    val cent = broadcast(centroids)
+      .select(col("corpus_vec")).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+    val centArray: Column = array(centroids.map { case (cellId, vec) =>
+      struct(lit(cellId).as("cell_id"), typedlit(vec).as("centroid"))
+    }: _*)
 
-    // assign corpus vectors to their nearest centroid
-    val assignW = Window.partitionBy(col("corpus_id")).orderBy(col("sim").desc, col("cell_id"))
-    val assigned = c.join(cent)
-      .select(col("corpus_id"), col("corpus_vec"), col("cell_id"),
-        cosine(col("corpus_vec"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select("corpus_id", "corpus_vec", "cell_id")
+    // nearest-centroid as a scalar fold over the literal centroid array:
+    // strict > keeps the first (lowest-cell_id) maximum, the same tie-break
+    // as (sim DESC, cell_id ASC)
+    def nearestCell(v: Column): Column =
+      aggregate(centArray,
+        struct(lit(-1).as("cell_id"), lit(-2.0).as("sim")),
+        (acc, cell) => {
+          val s = cosine(v, cell("centroid"))
+          when(s > acc("sim"),
+            struct(cell("cell_id").as("cell_id"), s.as("sim"))).otherwise(acc)
+        })("cell_id")
 
-    // queries probe their nProbe nearest cells
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell_id"))
-    val probes = q.join(cent)
-      .select(col("query_id"), col("query_vec"), col("cell_id"),
-        cosine(col("query_vec"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
-      .select("query_id", "query_vec", "cell_id")
+    val assigned = c.withColumn("cell_id", nearestCell(col("corpus_vec")))
 
-    val scored = assigned.join(probes, Seq("cell_id"))
+    // queries probe their nProbe nearest cells (tiny side: queries × nCells)
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val probes = q
+      .select(col("query_id"), col("query_vec"), explode(centArray).as("c"))
+      .select(col("query_id"), col("query_vec"), col("c.cell_id").cast("long").as("cell_id"),
+        cosine(col("query_vec"), col("c.centroid")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(first(col("query_vec")).as("query_vec"),
+        graft.functions.TopKByScore.topK(col("sim"), col("cell_id"), nProbe).as("top"))
+      .select(col("query_id"), col("query_vec"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("query_vec"), col("t.id").cast("int").as("cell_id"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, k)
   }
 }

@@ -16,7 +16,11 @@ final case class ExtractOut(
     spans: Seq[Span],
     mime_type: String,
     page_count: Int,
-    failure: String)
+    failure: String,
+    title: String = "",
+    source_path: String = "",
+    media: Seq[MediaItem] = Nil,
+    metadata: Map[String, String] = Map.empty)
 
 /** The end-to-end pipeline: route → extract → (chunk). Extraction is
   * row-wise (`Dataset.map` over typed rows — the UDTF-free path that keeps
@@ -41,17 +45,66 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
+  /** payload kind → reference provider, for cost metadata injection
+    * (converters/base.py:214-223; per-provider prices in DocOps.PricePerPage).
+    * Kinds modelling unpriced providers (mistral, markitdown, docling…) have
+    * no entry, matching `price_per_page is None` in the reference.
+    */
+  private val KindToProvider: Map[String, String] = Map(
+    "md_azure" -> "azure", "md_upstage" -> "upstage", "md_datalab" -> "datalab")
+
+  /** mime → extension, precomputed once (hot path: one lookup per doc). */
+  private val MimeToExt: Map[String, String] = {
+    val fromTable = graft.ops.DocOps.ExtToMime.toSeq
+      .sortBy(_._1) // toMap keeps the last entry: "html" wins over "htm", "jpg" over "jpeg"
+      .map { case (ext, mime) => mime -> ext }.toMap
+    fromTable ++ graft.ops.DocOps.ImageMimeToExt
+  }
+
+  private def extOf(mime: String): String = MimeToExt.getOrElse(mime, "bin")
+
   /** Pure per-row extraction: route by payload kind to the matching stage.
     * Never throws — failures surface in the `failure` column for lineage.
+    *
+    * Document assembly mirrors converters/base.py:204-223: title = converter
+    * title (HTML <title>) else the source filename stem; sidecar media
+    * payloads decoded from the source where the source embeds them (data-URI
+    * path); cost metadata injected when the modelled provider has a price.
     */
   def extractOne(r: RawDoc): ExtractOut =
     try {
-      val spans: Seq[Span] = r.payload_kind match {
-        case "html" => HtmlExtract.extract(r.raw).spans
-        case "pdf_layout" => PdfLayout.layout(r.elements).spans
-        case k => Normalize.dialect(k, r.raw, r.pages).spans
+      val (spans, images, convTitle) = r.payload_kind match {
+        case "html" =>
+          val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
+        case "pdf_layout" =>
+          val l = PdfLayout.layout(r.elements); (l.spans, l.images, "")
+        case k =>
+          val n = Normalize.dialect(k, r.raw, r.pages); (n.spans, n.images, "")
       }
-      ExtractOut(r.doc_id, spans, r.mime_type, Markdown.pageCount(spans), "")
+      val media = images.map { img =>
+        val bytes =
+          if (img.content_b64.nonEmpty)
+            try java.util.Base64.getDecoder.decode(img.content_b64)
+            catch { case _: IllegalArgumentException => Array.emptyByteArray }
+          else Array.emptyByteArray
+        MediaItem(img.filename, img.mime_type, bytes)
+      }
+      val sourcePath = s"synthetic://${r.payload_kind}/${r.doc_id}.${extOf(r.mime_type)}"
+      val stem = r.doc_id // filename stem of sourcePath (base.py:285)
+      val pageCount = Markdown.pageCount(spans)
+      val metadata: Map[String, String] =
+        KindToProvider.get(r.payload_kind)
+          .flatMap(p => graft.ops.DocOps.PricePerPage.get(p)).fold(Map.empty[String, String]) { price =>
+            val cost = java.math.BigDecimal.valueOf(price)
+              .multiply(java.math.BigDecimal.valueOf(pageCount.toLong))
+            Map(
+              "conversion_cost_usd" -> cost.stripTrailingZeros.toPlainString,
+              "price_per_page_usd" -> java.math.BigDecimal.valueOf(price).toPlainString,
+              "pages_processed" -> pageCount.toString)
+          }
+      ExtractOut(r.doc_id, spans, r.mime_type, pageCount, "",
+        title = if (convTitle.nonEmpty) convTitle else stem,
+        source_path = sourcePath, media = media, metadata = metadata)
     } catch {
       case e: Exception =>
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -79,8 +132,18 @@ object Pipeline {
     */
   def toDocsDF(out: Dataset[ExtractOut]): DataFrame =
     out.toDF().filter(col("failure") === "")
-      .select(col("doc_id"), col("spans"), lit("").as("title"),
-        lit("").as("source_path"), col("mime_type"), col("page_count"))
+      .select(col("doc_id"), col("spans"), col("title"),
+        col("source_path"), col("mime_type"), col("page_count"),
+        col("media"), col("metadata"))
+
+  /** The standalone media side-table (docler `Image` rows,
+    * docler_api/routes.py:62-64): a pure projection over the docs table —
+    * parquet column pruning means this reads ONLY the media column.
+    */
+  def toMediaDF(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("media")).as("m"))
+      .select(col("doc_id"), col("m.media_ref").as("media_ref"),
+        col("m.mime_type").as("mime_type"), col("m.content").as("content"))
 
   def toDocs(out: Dataset[ExtractOut]): Dataset[Doc] = {
     val spark = out.sparkSession

@@ -1,20 +1,29 @@
 package graft.pipeline
 
 import graft.io.TableIO
-import graft.model.RawDoc
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import graft.model.{Doc, LineageRow, RawDoc}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 
 /** The full north-rule orchestration as one callable: snapshot-aware resume →
   * salted repartition → extract → commit docs and per-partition lineage rows
   * under the SAME snapshot id → idempotent on rerun.
   *
-  * Commit protocol (emulated Iceberg, TableIO): the docs snapshot is written
-  * first; the lineage rows carry that snapshot id and are committed to the
-  * metrics table second; the docs `current` pointer flips only after data is
-  * durable. Crash windows and their repair:
-  *   - inside the docs commit: invisible leftovers are cleaned by
-  *     TableIO.commit's orphan sweep; the rerun re-processes the batch.
+  * The extract output streams STRAIGHT INTO the parquet write — no
+  * corpus-sized `.cache()` and no extra count actions (round-1 scale
+  * finding). Per-partition lineage is tallied by the same pass through a
+  * `CollectionAccumulator` (one small row per partition); the write is a
+  * single result stage (extract is map-only), so each task's accumulator
+  * update is counted exactly once by Spark's per-task dedup.
+  *
+  * Commit protocol (emulated Iceberg, TableIO): the docs snapshot is staged,
+  * written, then finalized (manifest + atomic `current` flip); the lineage
+  * rows carry that snapshot id and are committed to the metrics table second.
+  * Crash windows and their repair:
+  *   - inside the docs write: the staged data dir is invisible (no manifest);
+  *     TableIO's orphan sweep removes it and the rerun re-processes the batch.
   *   - between the docs commit and the lineage commit: the rerun detects the
   *     visible docs snapshot with no metrics rows and reconstructs lineage
   *     from the committed snapshot itself (failure lists are not
@@ -54,37 +63,71 @@ object Runner {
     }
     val inputCount = input.count()
 
-    // 2. extract with explicit pre-stage repartition + salting
+    // 2-3. extract with explicit pre-stage repartition + salting, streaming
+    // straight into the staged parquet write; lineage tallied in-flight
     val par = if (repartitionTo > 0) repartitionTo
       else spark.sparkContext.defaultParallelism * 2
-    val out = Pipeline.extract(pending, repartitionTo = par).cache()
+    val out = Pipeline.extract(pending, repartitionTo = par)
 
-    val pendingCount = out.count()
-    val okCount = out.filter(_.failure.isEmpty).count()
+    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
+    val docs: Dataset[Doc] = out.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var docCount = 0L
+      var spanCount = 0L
+      val fails = ArrayBuffer.empty[String]
+      var tallied = false
+      new Iterator[Doc] {
+        private val inner = it.flatMap { e =>
+          if (e.failure.nonEmpty) { fails += e.failure; None }
+          else {
+            docCount += 1
+            spanCount += e.spans.size
+            Some(Doc(e.doc_id, e.spans, e.title, e.source_path, e.mime_type,
+              e.page_count, e.media, e.metadata))
+          }
+        }
+        override def hasNext: Boolean = {
+          val h = inner.hasNext
+          if (!h && !tallied) {
+            // snapshot id not yet known: filled in on the driver below
+            acc.add(LineageRow(-1L, pid, docCount, spanCount, fails.toSeq))
+            tallied = true
+          }
+          h
+        }
+        override def next(): Doc = inner.next()
+      }
+    }
+
+    val staged = TableIO.stage(outTableDir)
+    docs.toDF().write.mode("errorifexists").parquet(staged.dataPath)
+
+    val parts = {
+      val l = acc.value
+      val buf = ArrayBuffer.empty[LineageRow]
+      val it = l.iterator(); while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    val okCount = parts.map(_.doc_count).sum
+    val failureCount = parts.map(_.failures.size.toLong).sum
+    val pendingCount = okCount + failureCount
     if (okCount == 0) {
       // nothing committable: either fully resumed, or only permanently
       // failing docs remain — committing an empty snapshot every rerun
       // would grow the chain unboundedly without converging
-      val failures = pendingCount // every pending row is a failure row here
-      out.unpersist()
+      TableIO.abortStaged(staged)
       val snap = TableIO.currentSnapshot(outTableDir).map(_.snapshotId).getOrElse(-1L)
-      return RunResult(snap, 0, 0, failures, inputCount - pendingCount)
+      return RunResult(snap, 0, 0, failureCount, inputCount - pendingCount)
     }
 
-    // 3. commit docs; snapshot id anchors the lineage rows
-    val snap = TableIO.commit(Pipeline.toDocsDF(out), outTableDir)
+    val snap = TableIO.finalizeStaged(spark, staged)
 
-    // 4. commit lineage under the same snapshot id
-    val lineage = Pipeline.lineage(out, snap.snapshotId).toDF().cache()
-    TableIO.commit(lineage, metricsTableDir)
-    val totals = lineage.agg(
-      sum(col("doc_count")), sum(col("span_count")),
-      sum(size(col("failures")))).collect().head
-    lineage.unpersist()
-    out.unpersist()
+    // 4. commit lineage under the same snapshot id (tiny: one row/partition)
+    val lineage = parts.map(_.copy(snapshot_id = snap.snapshotId))
+    TableIO.commit(spark.createDataset(lineage).toDF(), metricsTableDir)
 
-    RunResult(snap.snapshotId, totals.getLong(0), totals.getLong(1),
-      totals.getLong(2), inputCount - pendingCount)
+    RunResult(snap.snapshotId, okCount, parts.map(_.span_count).sum,
+      failureCount, inputCount - pendingCount)
   }
 
   /** Repair the docs-committed-but-lineage-missing crash window: rebuild the

@@ -23,6 +23,31 @@ class Regression2Spec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("jaccardPairs DF-cap drops ubiquitous shingles from index AND set sizes") {
+    import spark.implicits._
+    // every doc shares the hot prefix "the quick brown fox" (3 hot shingles,
+    // df = 40); pairs of docs additionally share a unique suffix shingle set
+    val docs = (0 until 40).map { i =>
+      val grp = i / 2 // doc pairs 0-1, 2-3, … share the suffix
+      (i.toLong, s"the quick brown fox unique$grp suffix$grp tail$grp")
+    }.toDF("doc_id", "text")
+    // uncapped: hot shingles contribute O(n²) candidate rows and every doc
+    // pair shares ≥3 shingles
+    val uncapped = graft.ops.Dedup.jaccardPairs(docs, threshold = 0.01, shingleN = 3)
+    assert(uncapped.count() == 40L * 39 / 2)
+    // capped at df>10: the 3 hot shingles drop; only the suffix-sharing pairs
+    // remain, with jaccard computed over the capped universe
+    val capped = graft.ops.Dedup.jaccardPairs(docs, threshold = 0.01, shingleN = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.length == 20, capped.toSeq)
+    capped.foreach { case (a, b, j) =>
+      assert(b == a + 1 && a % 2 == 0, s"unexpected pair ($a,$b)")
+      // each doc keeps 4 sub-cap shingles ("fox unique_g suffix_g" …), all
+      // shared within the pair → jaccard 1.0 over the capped universe
+      assert(j == 1.0, s"($a,$b) jaccard $j")
+    }
+  }
+
   test("ShingleHashes tokenizer agrees with Java \\s on vertical-tab and form-feed") {
     def toks(s: String) = graft.functions.ShingleHashes.compute(UTF8String.fromString(s), 1, 0).toSeq
     assert(toks("ab\fc") == toks("a b c"))
