@@ -4,7 +4,7 @@ import graft.io.SyntheticDocs
 import graft.model._
 import graft.ops.{Dedup, DocOps, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Pipeline, SpanOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,29 @@ object SparkEntry {
     import spark.implicits._
     val n = tbl(spark, dir, "documents").count() * 4
     spark.range(n).map(i => SyntheticDocs.generate(seed = 42L, i).raw)
+  }
+
+  /** The relational `documents` table lifted into `Dataset[Doc]` (single
+    * text-span docs; every third carries an image sidecar whose payload is
+    * the deterministic "id:source" bytes) — the oracle-visible input for the
+    * doc-level operators (export, files list, chunking, corrections).
+    */
+  private def docsFromDocuments(s: SparkSession, dir: String, withMedia: Boolean): Dataset[Doc] = {
+    import s.implicits._
+    tbl(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].map { case (id, text, src) =>
+        val base = graft.md.Markdown.parse(text)
+        val media =
+          if (withMedia && id % 3 == 0)
+            Seq(MediaItem("img-0.png", "image/png", s"$id:$src".getBytes("UTF-8")))
+          else Nil
+        val spans =
+          if (media.isEmpty) base
+          else base :+ Span(SpanKind.Image, "img-0", "img-0.png", base.length)
+        Doc(id.toString, spans, title = id.toString,
+          source_path = s"docs/$src/$id.md", mime_type = "text/markdown",
+          page_count = graft.md.Markdown.pageCount(spans), media = media)
+      }
   }
 
   /** Flagship: full extract → assemble → summarize pipeline on sf=0.001. */
@@ -212,16 +235,74 @@ object SparkEntry {
           element_at(typedlit(Seq(".pdf", ".html", ".png", ".weird")),
             (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
         .select(col("doc_id"), DocOps.guessMime(col("path")).as("mime"))),
-    "q_export" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir)))
-      DocOps.exportRows(docs).select(col("doc_id"), col("filename"),
-        length(col("content")).as("content_len"))
-    }),
+    "q_export" -> ((s, dir) =>
+      // directory-export sink over the oracle-visible documents table:
+      // document.md (real frontmatter from the doc assembly) + image rows
+      // with base64 payloads from the media sidecar
+      DocOps.exportRows(docsFromDocuments(s, dir, withMedia = true))
+        .select(col("doc_id"), col("filename"), length(col("content")).as("content_len"))),
     "q_files_list" -> ((s, dir) => {
-      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir)))
-      DocOps.filesList(docs).select(col("doc_id"), size(col("files")).as("n_files"))
+      val docs = docsFromDocuments(s, dir, withMedia = true)
+      DocOps.filesList(docs)
+        .select(col("doc_id"), size(col("files")).as("n_files"),
+          concat_ws(",", col("files")).as("files_csv"))
     }),
+    "q_doc_meta" -> ((s, dir) => {
+      // the REAL Document assembly (extractOne) over documents-derived raw
+      // payloads: title/source_path/page_count/cost metadata, oracle-checked
+      import s.implicits._
+      val raw = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "md_azure"
+            case 1 => "md_slides"
+            case _ => "md_datalab"
+          }
+          val mime = if (id % 3 == 1) "application/vnd.openxmlformats-officedocument.presentationml.presentation" else "application/pdf"
+          RawDoc(id.toString, kind, mime, text, Nil, Nil)
+        }
+      Pipeline.toDocsDF(Pipeline.extract(raw))
+        .select(col("doc_id"), col("title"), col("source_path"), col("mime_type"),
+          col("page_count"),
+          try_element_at(col("metadata"), lit("conversion_cost_usd")).as("cost_usd"),
+          try_element_at(col("metadata"), lit("pages_processed")).as("pages_processed"))
+    }),
+    "q_chunk_fallback" -> ((s, dir) => {
+      // markdown chunker, size-fallback path (markdown_chunker/chunker.py:44-53)
+      // over single-section docs: windows of 200 chars, stride 160
+      import s.implicits._
+      docsFromDocuments(s, dir, withMedia = false)
+        .flatMap(d => graft.chunk.Chunkers.markdownChunks(d, maxChunkSize = 200, chunkOverlap = 40))
+        .toDF()
+        .select(col("doc_id"), col("chunk_index"), length(col("content")).as("chunk_len"))
+    }),
+    "q_corrections" -> ((s, dir) => {
+      // apply_corrections (ai_processor.py:39-58): reverse order, first-wins,
+      // bounds-checked — line 1 replaced, line 99 out of range
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].map { case (id, text) =>
+          val (corrected, _) = DocOps.applyCorrections(text, Seq(
+            DocOps.LineCorrection(1, text.take(40).toUpperCase),
+            DocOps.LineCorrection(1, "ignored duplicate"),
+            DocOps.LineCorrection(99, "out of range")))
+          (id, corrected)
+        }.toDF("doc_id", "corrected")
+    }),
+    "q_page_range" -> ((s, dir) => {
+      // parse_page_range pushdown predicate (pdf_utils.py:22-50): keep docs
+      // whose synthetic page (doc_id%10+1) is in the parsed range
+      val pages = graft.extract.PageRange.parse("2-4,7").map(_.toLong)
+      tbl(s, dir, "documents")
+        .withColumn("page", pmod(col("doc_id"), lit(10)) + 1)
+        .filter(col("page").isInCollection(pages))
+        .select(col("doc_id"), col("page"))
+    }),
+    "q_minhash_sig" -> ((s, dir) =>
+      // granular signature check: the 32 portable MinHash lanes themselves
+      tbl(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          concat_ws("_", Dedup.minhashSignature(col("text"), k = 32, shingleN = 3)).as("sig"))),
     "q_verify_join" -> ((s, dir) => {
       // self-verification: pipeline output vs the generator's expected spans
       import s.implicits._
@@ -412,5 +493,243 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine FROM (
         |  SELECT query_id, corpus_id, cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin)
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // ------------------------------------------------------------------
+    // Portable-sketch oracles: h60(s) = first 15 hex chars of md5(s) as an
+    // integer, parsed with a strpos fold (both engines share md5).
+    // ------------------------------------------------------------------
+    "q_minhash_sig" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)] AS shs
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS ws
+        |        FROM documents WHERE doc_id < 50)
+        |), hashed AS (
+        |  SELECT doc_id, [${h60Sql("s")} FOR s IN shs] AS hs FROM sh
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN ''
+        |         ELSE array_to_string([list_min([((h % 2147483647) * (${h60Sql("'minhash-a-' || j")} % 2147483646 + 1)
+        |                + ${h60Sql("'minhash-b-' || j")} % 2147483647) % 2147483647 FOR h IN hs])
+        |              FOR j IN range(0, 32)], '_') END AS sig
+        |  FROM hashed
+        |)
+        |SELECT doc_id, sig FROM sigs""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shs
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS ws
+        |        FROM documents WHERE doc_id < 500)
+        |), hashed AS (
+        |  SELECT doc_id, [${h60Sql("s")} FOR s IN shs] AS hs
+        |  FROM sh WHERE len(shs) > 0
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    [list_min([((h % 2147483647) * (${h60Sql("'minhash-a-' || j")} % 2147483646 + 1)
+        |        + ${h60Sql("'minhash-b-' || j")} % 2147483647) % 2147483647 FOR h IN hs])
+        |     FOR j IN range(0, 32)] AS sig
+        |  FROM hashed
+        |), banded AS (
+        |  SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], '_') AS band_key
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+        |), inv AS (
+        |  SELECT doc_id, len(dh) AS n_h, unnest(dh) AS h
+        |  FROM (SELECT doc_id, list_distinct(hs) AS dh FROM hashed)
+        |)
+        |SELECT id_a, id_b,
+        |  round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) AS jaccard
+        |FROM cand c JOIN inv a ON a.doc_id = c.id_a
+        |            JOIN inv b ON b.doc_id = c.id_b AND b.h = a.h
+        |GROUP BY 1, 2
+        |HAVING round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) >= 0.15""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id < 500
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(s, '\\s+')[1:128] AS tks FROM norm WHERE length(s) > 0
+        |), hashed AS (
+        |  SELECT doc_id, [${h60Sql("t")} FOR t IN tks] AS hs FROM toks
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN 2 * list_sum([CAST((h >> b) & 1 AS BIGINT) FOR h IN hs]) > len(hs)
+        |                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END FOR b IN range(0, 60)]) AS BIGINT) AS sig
+        |  FROM hashed
+        |), banded AS (
+        |  SELECT doc_id, sig, b, (sig >> (b*15)) & 32767 AS chunk
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sa, r.sig AS sb
+        |  FROM banded l JOIN banded r ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin,
+    "q_embed_neardups" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |comp AS (
+        |  SELECT p, [CASE WHEN (${h60Sql("'hp-' || p || '-' || (d-1)")} & 1) = 1 THEN -1.0 ELSE 1.0 END
+        |             FOR d IN range(1, 65)] AS cs
+        |  FROM (SELECT unnest(range(0, 6)) AS p)
+        |), bits AS (
+        |  SELECT v.vec_id, comp.p,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           [comp.cs[d] * v.e[d] FOR d IN range(1, len(v.e)+1)]), (acc, x) -> acc + x) > 0
+        |         THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM v CROSS JOIN comp
+        |), b AS (
+        |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1
+        |), be AS (
+        |  SELECT b.vec_id, b.bucket, v.e FROM b JOIN v USING (vec_id)
+        |)
+        |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |  round(list_cosine_similarity(l.e, r.e), 6) AS cosine
+        |FROM be l JOIN be r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |WHERE round(list_cosine_similarity(l.e, r.e), 6) >= 0.2""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(corpus_id AS VARCHAR))) - 1 AS INT) AS cell_id,
+        |         cv AS centroid
+        |  FROM c ORDER BY md5(CAST(corpus_id AS VARCHAR)) LIMIT 8
+        |), assigned AS (
+        |  SELECT corpus_id, cv, cell_id FROM (
+        |    SELECT c.corpus_id, c.cv, cent.cell_id,
+        |      row_number() OVER (PARTITION BY c.corpus_id
+        |        ORDER BY round(list_cosine_similarity(c.cv, cent.centroid), 6) DESC, cent.cell_id) AS rn
+        |    FROM c CROSS JOIN cent) WHERE rn = 1
+        |), q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |         FROM embeddings WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT query_id, qv, cell_id FROM (
+        |    SELECT q.query_id, q.qv, cent.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qv, cent.centroid), 6) DESC, cent.cell_id) AS rn
+        |    FROM q CROSS JOIN cent) WHERE rn <= 3
+        |), scored AS (
+        |  SELECT query_id, corpus_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+        |  FROM probes JOIN assigned USING (cell_id)
+        |  WHERE corpus_id <> query_id
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine FROM (
+        |  SELECT query_id, corpus_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // ------------------------------------------------------------------
+    // Doc-level operators over the documents table
+    // ------------------------------------------------------------------
+    "q_export" ->
+      """WITH md AS (
+        |  SELECT doc_id, 'document.md' AS filename,
+        |    length('---' || chr(10) || 'title: ' || doc_id || chr(10)
+        |      || 'source_path: docs/' || source || '/' || doc_id || '.md' || chr(10)
+        |      || 'mime_type: text/markdown' || chr(10) || 'page_count: 1' || chr(10)
+        |      || '---' || chr(10) || chr(10) || text || chr(10)
+        |      || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '![img-0](img-0.png)' || chr(10) ELSE '' END)
+        |      AS content_len
+        |  FROM documents
+        |), img AS (
+        |  SELECT doc_id, 'img-0.png' AS filename,
+        |    length(base64(CAST(CAST(doc_id AS VARCHAR) || ':' || source AS BLOB))) AS content_len
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT doc_id, filename, CAST(content_len AS INT) AS content_len FROM md
+        |UNION ALL
+        |SELECT doc_id, filename, CAST(content_len AS INT) AS content_len FROM img""".stripMargin,
+    "q_files_list" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_files,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'document.md,img-0.png' ELSE 'document.md' END AS files_csv
+        |FROM documents""".stripMargin,
+    "q_doc_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id AS VARCHAR) AS title,
+        |  'synthetic://' || kind || '/' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '.pptx' ELSE '.pdf' END AS source_path,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+        |       ELSE 'application/pdf' END AS mime_type,
+        |  1 AS page_count,
+        |  CASE doc_id % 3 WHEN 0 THEN '0.00958' WHEN 2 THEN '0.0015' END AS cost_usd,
+        |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE '1' END AS pages_processed
+        |FROM (SELECT doc_id,
+        |        CASE doc_id % 3 WHEN 0 THEN 'md_azure' WHEN 1 THEN 'md_slides'
+        |             ELSE 'md_datalab' END AS kind
+        |      FROM documents)""".stripMargin,
+    "q_chunk_fallback" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CASE WHEN length(text) <= 200 THEN 1
+        |                         ELSE CAST(ceil(length(text) / 160.0) AS BIGINT) END)) AS i
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_index,
+        |  CAST(length(substring(text, CAST(i*160 + 1 AS INT), 200)) + 2 AS INT) AS chunk_len
+        |FROM c""".stripMargin,
+    "q_corrections" ->
+      """SELECT doc_id, upper(substring(text, 1, 40)) AS corrected FROM documents""".stripMargin,
+    "q_page_range" ->
+      """SELECT doc_id, doc_id % 10 + 1 AS page FROM documents
+        |WHERE doc_id % 10 + 1 IN (2, 3, 4, 7)""".stripMargin,
+    // ------------------------------------------------------------------
+    // Multimodal plumbing (documents-derived media; stub codec is mod-P)
+    // ------------------------------------------------------------------
+    "q_media_features" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, 'img-0.png' AS media_ref, 'image/png' AS mime_type,
+        |         CAST(doc_id AS VARCHAR) || ':' || source AS payload
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'img-1.jpg', 'image/jpeg', CAST(doc_id AS VARCHAR) || ':' || source
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), h AS (
+        |  SELECT doc_id, media_ref, mime_type, length(payload) AS byte_len,
+        |    ${foldSql("payload")} AS ph
+        |  FROM m
+        |)
+        |SELECT doc_id, media_ref, mime_type, CAST(byte_len AS INT) AS byte_len,
+        |  CAST(16 + ph % 1024 AS INT) AS width,
+        |  CAST(16 + (ph // 1024) % 1024 AS INT) AS height,
+        |  CASE WHEN mime_type = 'image/png' THEN 4 ELSE 3 END AS channels,
+        |  round(CAST((ph // 16) % 256 AS DOUBLE) / 255.0 * 10000) / 10000 AS mean_luma,
+        |  ph AS phash
+        |FROM h""".stripMargin,
+    "q_frame_sample" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, 'img-0.png' AS media_ref,
+        |         CAST(doc_id AS VARCHAR) || ':' || source AS payload
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'img-1.jpg', CAST(doc_id AS VARCHAR) || ':' || source
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), n AS (
+        |  SELECT doc_id, media_ref,
+        |    CAST(1 + (${foldSql("payload")} + length(payload)) % 300 AS INT) AS n_frames
+        |  FROM m
+        |)
+        |SELECT doc_id, media_ref, CAST(f * 10 AS INT) AS frame_idx, n_frames FROM (
+        |  SELECT doc_id, media_ref, n_frames,
+        |    unnest(range(0, least(CAST(ceil(n_frames / 10.0) AS BIGINT), 8))) AS f
+        |  FROM n)""".stripMargin)
+
+  /** DuckDB h60(expr): first 15 hex chars of md5 parsed via a strpos fold —
+    * numerically identical to [[graft.functions.PortableHash.h60]].
+    */
+  private def h60Sql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(strpos('0123456789abcdef', md5($expr)[i]) - 1 AS BIGINT) FOR i IN range(1, 16)]), " +
+      s"(a, d) -> a*16 + d)"
+
+  /** DuckDB (h*31 + byte) mod 2^31-1 fold over an ASCII payload —
+    * [[graft.ops.Multimodal.FakeCodec.foldHash]].
+    */
+  private def foldSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(($expr)[i]) AS BIGINT) FOR i IN range(1, length($expr)+1)]), " +
+      s"(h, c) -> (h*31 + c) % 2147483647)"
 }

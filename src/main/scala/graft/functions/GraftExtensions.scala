@@ -42,7 +42,17 @@ object GraftExtensions {
         if (args.length > 2) intArg(args(2), "maxTokens") else 0)),
     "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args.head, args(1))),
     "hyperplane_bucket" -> ((args: Seq[Expression]) =>
-      HyperplaneBucket(args.head, intArg(args(1), "planes"))))
+      HyperplaneBucket(args.head, intArg(args(1), "planes"))),
+    // engine-portable (md5-derived) variants — every value reproducible in
+    // DuckDB SQL for oracle checking
+    "md5_shingle_h60" -> ((args: Seq[Expression]) =>
+      Md5ShingleH60(args.head, intArg(args(1), "n"),
+        if (args.length > 2) intArg(args(2), "maxTokens") else 0)),
+    "portable_minhash_sig" -> ((args: Seq[Expression]) =>
+      PortableMinHashSig(args.head, intArg(args(1), "k"))),
+    "portable_simhash60" -> ((args: Seq[Expression]) => PortableSimHash60(args.head)),
+    "portable_hyperplane_bucket" -> ((args: Seq[Expression]) =>
+      PortableHyperplaneBucket(args.head, intArg(args(1), "planes"))))
 
   /** Register on an existing session (post-hoc, e.g. in tests). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

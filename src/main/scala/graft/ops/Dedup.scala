@@ -54,26 +54,28 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** K-permutation MinHash signature over word shingles. One xxhash64 per
-    * shingle, then K affine rehashes ((a_k·h + b_k) mod p) — the standard
-    * one-hash trick (Broder 1997 lineage, public). All HOFs, codegen'd.
-    */
-  /** Hashed shingles on the native fast path (no shingle strings
-    * materialized) — for sketching ops where only hashes matter.
+  /** h60 shingle hashes (engine-portable md5-derived lanes, one native pass —
+    * [[graft.functions.Md5ShingleH60]]); the DuckDB oracle reproduces every
+    * value from `md5(shingle)`, so the whole LSH chain is hash-checkable.
     */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    graft.functions.ShingleHashes.shingleHashes(normalized(text), n)
+    graft.functions.Md5ShingleH60.md5ShingleH60(normalized(text), n)
 
+  /** K-permutation MinHash signature (Broder 1997 lineage, public): one h60
+    * per shingle, then K portable affine rehashes ((a_k·h + b_k) mod P).
+    */
   def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
-    graft.functions.MinHashSig.minhashSig(shingleHashes(text, shingleN), k)
+    graft.functions.PortableMinHashSig.portableMinhashSig(shingleHashes(text, shingleN), k)
 
   /** MinHash LSH near-dup pairs: band the signature (bands × rowsPerBand = k),
-    * bucket-join on (band index, band hash), verify candidates with exact
-    * Jaccard over shingle sets, keep pairs ≥ threshold.
+    * bucket-join on (band index, band key), verify candidates with exact
+    * Jaccard over shingle-hash sets, keep pairs ≥ threshold.
     *
-    * Shuffle profile: explode emits `bands` rows/doc with a (int, long) key;
-    * the self-join is an equi-join on that key; verification happens only
-    * inside buckets. No O(n²) stage anywhere.
+    * Shuffle profile: explode emits `bands` rows/doc with a small (int,
+    * string) key; the self-join is an equi-join on that key; verification
+    * happens only inside buckets. No O(n²) stage anywhere. The band key is
+    * the lane values joined by '_' — portable, so a SQL oracle reproduces
+    * the candidate set exactly.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -88,8 +90,8 @@ object Dedup {
     // candidate generation carries ONLY (band keys, id): the shingle arrays
     // never ride the banded self-join (they did in a first cut — 18× slower:
     // every false candidate shipped two ~170-element string arrays).
-    // Docs with no shingles (< shingleN words) would all share the K×(-1)
-    // sentinel signature — one hot band key and a quadratic join blowup on
+    // Docs with no shingles (< shingleN words) would all share one sentinel
+    // signature — one hot band key and a quadratic join blowup on
     // short-doc-heavy corpora — so they are dropped before banding, mirroring
     // the simhashPairs zero-token guard (they can never verify anyway:
     // Jaccard over an empty set is 0).
@@ -98,19 +100,19 @@ object Dedup {
         shingleHashes(col(textCol), shingleN).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("toks"), k).as("sig"))
+        graft.functions.PortableMinHashSig.portableMinhashSig(col("toks"), k).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
-        ).as(Seq("band", "band_hash")))
-    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "band_hash"))
+          b => concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows))))
+        ).as(Seq("band", "band_key")))
+    val l = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify: join the deduped candidates back to the (hashed) shingle sets
-    // once — Jaccard over hash sets equals Jaccard over string sets up to
-    // negligible 64-bit collisions
+    // once — Jaccard over h60 sets equals Jaccard over string sets up to
+    // negligible 60-bit collisions
     val sh = docs.select(col(idCol).as("doc_id"),
       array_distinct(shingleHashes(col(textCol), shingleN)).as("sh"))
     candidates
@@ -129,18 +131,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash from word tokens (Charikar 2002 lineage, public):
-    * token hashes via built-in xxhash64, then the native [[graft.functions.SimHash64]]
-    * Catalyst expression — one codegen'd pass instead of 64 nested aggregates.
-    * Cost O(64·tokens), bounded by the `maxTokens` prefix.
+  /** 60-bit SimHash from word tokens (Charikar 2002 lineage, public): token
+    * h60 hashes, then the native [[graft.functions.PortableSimHash60]]
+    * expression — one pass, engine-portable (the oracle rebuilds every bit
+    * from md5). Cost O(60·tokens), bounded by the `maxTokens` prefix.
     */
   def simhash(text: Column, maxTokens: Int = 128): Column =
-    graft.functions.SimHash64.simhash64(
-      graft.functions.ShingleHashes.shingleHashes(normalized(text), 1, maxTokens))
+    graft.functions.PortableSimHash60.portableSimhash60(
+      graft.functions.Md5ShingleH60.md5ShingleH60(normalized(text), 1, maxTokens))
 
-  /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
+  /** SimHash near-dup candidates: band the 60-bit signature into four 15-bit
     * chunks; docs sharing any chunk are candidates (catches hamming distance
-    * ≤ 3 with high probability); verify by full hamming distance.
+    * ≤ 3 with certainty, larger distances probabilistically); verify by full
+    * hamming distance.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -149,13 +152,14 @@ object Dedup {
     // Tokenize ONCE: filter and signature share the same token-hash column.
     val withSig = docs
       .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHashes.shingleHashes(
+        graft.functions.Md5ShingleH60.md5ShingleH60(
           normalized(col(textCol)), 1, 128).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), graft.functions.SimHash64.simhash64(col("toks")).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.PortableSimHash60.portableSimhash60(col("toks")).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "chunk")))
+        shiftright(col("sig"), b * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("band", "chunk")))
     val l = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "chunk"))
@@ -220,8 +224,9 @@ object Dedup {
   // ----------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates above a threshold, LSH-bucketed by
-    * random-hyperplane sign bits (native [[graft.functions.HyperplaneBucket]]
-    * expression; deterministic hyperplanes from splitmix64(plane, dim)).
+    * random-hyperplane sign bits (native
+    * [[graft.functions.PortableHyperplaneBucket]]: Rademacher ±1 components
+    * from md5 parity — deterministic AND reproducible in the SQL oracle).
     * Vectors sharing a sign-bucket are candidates; cosine verifies. `planes`
     * controls the recall/cost trade.
     */
@@ -233,7 +238,7 @@ object Dedup {
       vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
     val bucketed = vecs.select(col(idCol).as("id"), v.as("vec"),
-      graft.functions.HyperplaneBucket.hyperplaneBucket(v, planes).as("bucket"))
+      graft.functions.PortableHyperplaneBucket.portableHyperplaneBucket(v, planes).as("bucket"))
     val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))

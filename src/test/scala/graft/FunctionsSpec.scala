@@ -91,7 +91,9 @@ class FunctionsSpec extends AnyFunSuite {
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
     assert(graft.functions.GraftExtensions.registry.map(_._1).toSet ==
-      Set("simhash64", "minhash_sig", "shingle_hashes", "cosine_sim", "hyperplane_bucket"))
+      Set("simhash64", "minhash_sig", "shingle_hashes", "cosine_sim", "hyperplane_bucket",
+        "md5_shingle_h60", "portable_minhash_sig", "portable_simhash60",
+        "portable_hyperplane_bucket"))
     // every builder yields a type-checking expression for a valid arg shape
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
@@ -105,5 +107,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(byName("shingle_hashes")(Seq(str, k)).checkInputDataTypes().isSuccess)
     assert(byName("cosine_sim")(Seq(arrF, arrF)).checkInputDataTypes().isSuccess)
     assert(byName("hyperplane_bucket")(Seq(arrF, k)).checkInputDataTypes().isSuccess)
+    assert(byName("md5_shingle_h60")(Seq(str, k)).checkInputDataTypes().isSuccess)
+    assert(byName("portable_minhash_sig")(Seq(arrL, k)).checkInputDataTypes().isSuccess)
+    assert(byName("portable_simhash60")(Seq(arrL)).checkInputDataTypes().isSuccess)
+    assert(byName("portable_hyperplane_bucket")(Seq(arrF, k)).checkInputDataTypes().isSuccess)
   }
 }

@@ -102,6 +102,24 @@ class Regression2Spec extends AnyFunSuite {
     assert(tblIdx > capIdx, texts)
   }
 
+  test("PortableHash.h60 matches md5-hex-prefix parse (python/DuckDB cross-check)") {
+    import graft.functions.{Md5ShingleH60, PortableHash}
+    // int(hashlib.md5(s).hexdigest()[:15], 16) — values computed externally
+    assert(PortableHash.h60("hello") == 419982666956583591L)
+    assert(PortableHash.h60("the quick brown") == 846626497777792448L)
+    assert(PortableHash.minhashParams(1)._1(0) == 1274344103L)
+    assert(PortableHash.minhashParams(1)._2(0) == 1850794318L)
+    assert(PortableHash.hyperplaneComponent(0, 0) == 1.0)  // even parity → +1
+    assert(PortableHash.hyperplaneComponent(1, 3) == -1.0) // odd parity → -1
+    // the one-pass shingle tokenizer hashes the ' '-joined word windows
+    val hs = Md5ShingleH60.compute(UTF8String.fromString("the  quick\tbrown fox"), 3, 0).toSeq
+    assert(hs == Seq(PortableHash.h60("the quick brown"), PortableHash.h60("quick brown fox")))
+    // maxTokens prefix
+    assert(Md5ShingleH60.compute(UTF8String.fromString("a b c d"), 1, 2).toSeq ==
+      Seq(PortableHash.h60("a"), PortableHash.h60("b")))
+    assert(Md5ShingleH60.compute(UTF8String.fromString(""), 1, 0).isEmpty)
+  }
+
   test("MIME table matches the reference's full EXT_TO_MIME_TYPE (mime_types.py:124-167)") {
     assert(DocOps.ExtToMime.size == 41)
     assert(DocOps.ExtToMime("org") == "text/x-org")
