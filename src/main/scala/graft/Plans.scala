@@ -29,8 +29,12 @@ object Plans {
       SparkEntry.queries("q_antijoin")(spark, dir))
     show("assemble: two-phase skew-aware agg")(
       SparkEntry.queries("pipeline_assemble")(spark, dir))
-    show("q_ann_topk: broadcast NL join + window")(
+    show("q_ann_topk: broadcast NL join + partial top-k agg")(
       SparkEntry.queries("q_ann_topk")(spark, dir))
+    show("q_ann_ivf: zero-shuffle assignment + partial top-k")(
+      SparkEntry.queries("q_ann_ivf")(spark, dir))
+    show("q_minhash_pairs: banded self-join, no shingle payload")(
+      SparkEntry.queries("q_minhash_pairs")(spark, dir))
     spark.stop()
   }
 }
