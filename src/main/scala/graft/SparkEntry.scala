@@ -41,7 +41,7 @@ object SparkEntry {
         val base = graft.md.Markdown.parse(text)
         val media =
           if (withMedia && id % 3 == 0)
-            Seq(MediaItem("img-0.png", "image/png", s"$id:$src".getBytes("UTF-8")))
+            Seq(MediaItem("img-0.png", "image/png", Multimodal.docPayload(id.toString, src)))
           else Nil
         val spans =
           if (media.isEmpty) base
@@ -214,7 +214,7 @@ object SparkEntry {
       val out = Pipeline.extract(rawDocs(s, dir), repartitionTo = 16)
       Pipeline.lineage(out, snapshotId = 0L)
         .agg(sum(col("doc_count")).as("docs"), sum(col("span_count")).as("spans"),
-          sum(size(col("failures"))).as("failures"))
+          sum(col("failure_count")).as("failures"))
     }),
     // ------------------------------------------------ doc-level operators
     "q_numbered_lines" -> ((s, dir) =>
@@ -282,8 +282,9 @@ object SparkEntry {
       import s.implicits._
       tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)].map { case (id, text) =>
+          val firstLine = text.split("\n", 2)(0)
           val (corrected, _) = DocOps.applyCorrections(text, Seq(
-            DocOps.LineCorrection(1, text.take(40).toUpperCase),
+            DocOps.LineCorrection(1, firstLine.take(40).toUpperCase(java.util.Locale.ROOT)),
             DocOps.LineCorrection(1, "ignored duplicate"),
             DocOps.LineCorrection(99, "out of range")))
           (id, corrected)
@@ -635,7 +636,7 @@ object SparkEntry {
         |  FROM documents
         |), img AS (
         |  SELECT doc_id, 'img-0.png' AS filename,
-        |    length(base64(CAST(CAST(doc_id AS VARCHAR) || ':' || source AS BLOB))) AS content_len
+        |    length(base64(CAST(CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g') AS BLOB))) AS content_len
         |  FROM documents WHERE doc_id % 3 = 0
         |)
         |SELECT doc_id, filename, CAST(content_len AS INT) AS content_len FROM md
@@ -672,7 +673,13 @@ object SparkEntry {
         |  CAST(length(substring(text, CAST(i*160 + 1 AS INT), 200)) + 2 AS INT) AS chunk_len
         |FROM c""".stripMargin,
     "q_corrections" ->
-      """SELECT doc_id, upper(substring(text, 1, 40)) AS corrected FROM documents""".stripMargin,
+      // line 1 replaced by its own uppercased 40-char prefix; the rest of a
+      // multi-line document survives verbatim (exact for ANY text shape)
+      """SELECT doc_id,
+        |  upper(substring(split_part(text, chr(10), 1), 1, 40)) ||
+        |  CASE WHEN strpos(text, chr(10)) > 0
+        |       THEN substring(text, strpos(text, chr(10))) ELSE '' END AS corrected
+        |FROM documents""".stripMargin,
     "q_page_range" ->
       """SELECT doc_id, doc_id % 10 + 1 AS page FROM documents
         |WHERE doc_id % 10 + 1 IN (2, 3, 4, 7)""".stripMargin,
@@ -682,10 +689,10 @@ object SparkEntry {
     "q_media_features" ->
       s"""WITH m AS (
         |  SELECT doc_id, 'img-0.png' AS media_ref, 'image/png' AS mime_type,
-        |         CAST(doc_id AS VARCHAR) || ':' || source AS payload
+        |         CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g') AS payload
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id, 'img-1.jpg', 'image/jpeg', CAST(doc_id AS VARCHAR) || ':' || source
+        |  SELECT doc_id, 'img-1.jpg', 'image/jpeg', CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g')
         |  FROM documents WHERE doc_id % 6 = 0
         |), h AS (
         |  SELECT doc_id, media_ref, mime_type, length(payload) AS byte_len,
@@ -702,10 +709,10 @@ object SparkEntry {
     "q_frame_sample" ->
       s"""WITH m AS (
         |  SELECT doc_id, 'img-0.png' AS media_ref,
-        |         CAST(doc_id AS VARCHAR) || ':' || source AS payload
+        |         CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g') AS payload
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id, 'img-1.jpg', CAST(doc_id AS VARCHAR) || ':' || source
+        |  SELECT doc_id, 'img-1.jpg', CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g')
         |  FROM documents WHERE doc_id % 6 = 0
         |), n AS (
         |  SELECT doc_id, media_ref,

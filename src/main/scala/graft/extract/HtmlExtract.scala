@@ -82,9 +82,13 @@ object HtmlExtract {
     var inCaption = false
     var tableCaption = ""
     // <title> lives inside <head> (SkipContent) — captured independently of
-    // the skip state so the Document assembly can use it as the title
+    // the skip state so the Document assembly can use it as the title.
+    // Only the FIRST document title counts; <svg><title> (accessibility
+    // labels, ubiquitous inline-icon markup) is excluded via svgDepth.
     val titleBuf = new StringBuilder
     var inTitle = false
+    var titleDone = false
+    var svgDepth = 0
 
     def flush(): Unit = {
       val trimmed = cur.text.toString.trim
@@ -146,8 +150,17 @@ object HtmlExtract {
             val nameEnd0 = inner.drop(if (closing) 1 else 0)
             val name = nameEnd0.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
             if (name.nonEmpty) {
+              // a real document title contains no markup: any tag other than
+              // </title> while capturing means the <title> was never closed —
+              // stop capturing instead of swallowing the whole body
+              if (inTitle && name != "title") { inTitle = false; titleDone = true }
+              if (name == "svg") {
+                if (!closing && !inner.endsWith("/")) svgDepth += 1
+                else if (closing && svgDepth > 0) svgDepth -= 1
+              }
               if (name == "title") {
-                inTitle = !closing && !inner.endsWith("/")
+                if (closing) { if (inTitle) titleDone = true; inTitle = false }
+                else inTitle = !inner.endsWith("/") && !titleDone && svgDepth == 0
               } else if (SkipContent.contains(name)) {
                 if (!closing && !inner.endsWith("/")) skipDepth += 1
                 else if (closing && skipDepth > 0) skipDepth -= 1

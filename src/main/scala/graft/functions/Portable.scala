@@ -103,28 +103,31 @@ object Md5ShingleH60 {
   def compute(str: UTF8String, n: Int, maxTokens: Int): Array[Long] = {
     val bytes = str.getBytes
     val len = bytes.length
-    val starts = new java.util.ArrayList[Integer](64)
-    val ends = new java.util.ArrayList[Integer](64)
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var w = 0
+    def push(s: Int, e: Int): Unit = {
+      if (w == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, w * 2)
+        ends = java.util.Arrays.copyOf(ends, w * 2)
+      }
+      starts(w) = s; ends(w) = e; w += 1
+    }
     var i = 0
     var wordStart = -1
-    while (i < len && (maxTokens == 0 || starts.size < maxTokens)) {
+    while (i < len && (maxTokens == 0 || w < maxTokens)) {
       val b = bytes(i)
       val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
       if (isWs) {
-        if (wordStart >= 0) { starts.add(wordStart); ends.add(i); wordStart = -1 }
+        if (wordStart >= 0) { push(wordStart, i); wordStart = -1 }
       } else if (wordStart < 0) wordStart = i
       i += 1
     }
-    if (wordStart >= 0 && (maxTokens == 0 || starts.size < maxTokens)) {
-      // the final word runs to the first whitespace (or end of string)
-      var e = wordStart
-      while (e < len && {
-        val b = bytes(e)
-        !(b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c)
-      }) e += 1
-      starts.add(wordStart); ends.add(e)
-    }
-    val w = starts.size
+    // a word in progress when the scan hit end-of-input runs to len (there
+    // can be no whitespace left — it would have closed the word); when the
+    // scan stopped early on maxTokens, the in-progress word is word
+    // maxTokens+1 and is dropped, matching the oracle's ws[1:maxTokens]
+    if (wordStart >= 0 && i == len && (maxTokens == 0 || w < maxTokens)) push(wordStart, len)
     if (w < n) return Array.emptyLongArray
     val out = new Array[Long](w - n + 1)
     val buf = new java.io.ByteArrayOutputStream(64)
@@ -134,7 +137,7 @@ object Md5ShingleH60 {
       var j = 0
       while (j < n) {
         if (j > 0) buf.write(' ')
-        buf.write(bytes, starts.get(s + j), ends.get(s + j) - starts.get(s + j))
+        buf.write(bytes, starts(s + j), ends(s + j) - starts(s + j))
         j += 1
       }
       out(s) = PortableHash.h60(buf.toByteArray)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k aggregate: keeps the k best `(score, id)` pairs, ordered by
   * (score desc, id asc). A `TypedImperativeAggregate` so the heap participates
@@ -16,7 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * `row_number().over(Window.partitionBy(query))` top-k (round-1 scale
   * finding: the window exchange sorts the full candidate set).
   *
-  * Output: `array<struct<score:double, id:bigint>>` in rank order.
+  * Ids may be `bigint` or `string` (the engine's two id shapes: vec_id and
+  * doc_id). Output: `array<struct<score:double, id:<id type>>>` in rank order.
   */
 case class TopKByScore(
     score: Expression,
@@ -28,23 +30,33 @@ case class TopKByScore(
 
   require(k > 0, "k must be positive")
 
+  private def stringIds: Boolean = id.dataType == StringType
+
   override def children: Seq[Expression] = Seq(score, id)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType)
+    if (score.dataType == DoubleType &&
+        (id.dataType == LongType || id.dataType == StringType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"top_k_by_score needs (double, bigint), got (${score.dataType.sql}, ${id.dataType.sql})")
+      s"top_k_by_score needs (double, bigint|string), got (${score.dataType.sql}, ${id.dataType.sql})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))), containsNull = false)
+      StructField("id", id.dataType, nullable = false))), containsNull = false)
 
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      val idv: AnyRef = i match {
+        // UTF8String from eval may point into a reused row buffer — copy
+        case u: UTF8String => u.clone()
+        case other => other.asInstanceOf[AnyRef]
+      }
+      buf.insert(s.asInstanceOf[Double], idv)
+    }
     buf
   }
 
@@ -61,19 +73,41 @@ case class TopKByScore(
   }
 
   override def serialize(buf: TopKBuf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.n * 16)
-    bb.putInt(buf.n)
+    val bos = new java.io.ByteArrayOutputStream(4 + buf.n * 24)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.n)
     var i = 0
-    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
-    bb.array()
+    while (i < buf.n) {
+      out.writeDouble(buf.scores(i))
+      buf.ids(i) match {
+        case l: java.lang.Long => out.writeByte(0); out.writeLong(l)
+        case u: UTF8String =>
+          val b = u.getBytes
+          out.writeByte(1); out.writeInt(b.length); out.write(b)
+      }
+      i += 1
+    }
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
     val buf = new TopKBuf(k)
     var i = 0
-    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    while (i < n) {
+      val s = in.readDouble()
+      val idv: AnyRef = in.readByte() match {
+        case 0 => java.lang.Long.valueOf(in.readLong())
+        case _ =>
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          UTF8String.fromBytes(b)
+      }
+      buf.insert(s, idv)
+      i += 1
+    }
     buf
   }
 
@@ -87,17 +121,24 @@ case class TopKByScore(
 }
 
 /** Bounded sorted buffer: insertion keeps (score desc, id asc) order; at most
-  * k entries ever held, so map-side partial state is O(k).
+  * k entries ever held, so map-side partial state is O(k). Ids are boxed
+  * longs or UTF8Strings (homogeneous per aggregate).
   */
 final class TopKBuf(val k: Int) {
   var scores = new Array[Double](math.min(k, 16))
-  var ids = new Array[Long](math.min(k, 16))
+  var ids = new Array[AnyRef](math.min(k, 16))
   var n = 0
 
-  private def beats(s: Double, i: Long, pos: Int): Boolean =
-    s > scores(pos) || (s == scores(pos) && i < ids(pos))
+  private def idLt(a: AnyRef, b: AnyRef): Boolean = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.longValue() < y.longValue()
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+    case _ => throw new IllegalStateException(s"mixed id types: $a / $b")
+  }
 
-  def insert(s: Double, i: Long): Unit = {
+  private def beats(s: Double, i: AnyRef, pos: Int): Boolean =
+    s > scores(pos) || (s == scores(pos) && idLt(i, ids(pos)))
+
+  def insert(s: Double, i: AnyRef): Unit = {
     if (n == k && !beats(s, i, n - 1)) return
     var pos = n
     while (pos > 0 && beats(s, i, pos - 1)) pos -= 1

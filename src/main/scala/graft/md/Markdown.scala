@@ -51,7 +51,16 @@ object Markdown {
       chunkId: Int,
       keywords: Seq[String] = Nil,
       extraData: Seq[(String, String)] = Nil): String = {
-    def js(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON-escape; additionally '>' is unicode-escaped (legal JSON) so no payload
+    // value can embed "-->" and terminate the HTML comment wrapper early, and
+    // control chars are \u-escaped so the boundary stays a single line
+    def js(s: String): String = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '>' => "\\u003e"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val kw =
       if (keywords.isEmpty) ""
       else keywords.map(js).mkString(""","keywords":[""", ",", "]")

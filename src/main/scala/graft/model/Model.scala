@@ -82,13 +82,23 @@ final case class Chunk(
 
 /** Per-partition lineage/metrics row (north-rule resumability;
   * mirrors docler's `Conversion` progress state, converters/dir_converter.py:22-45).
+  *
+  * `failures` is a bounded SAMPLE (first [[LineageRow.MaxFailureSample]] per
+  * partition) — on a broadly-failing huge batch the full list would ship
+  * through task results to the driver; `failure_count` is always exact.
   */
 final case class LineageRow(
     snapshot_id: Long,
     partition_id: Int,
     doc_count: Long,
     span_count: Long,
+    failure_count: Long,
     failures: Seq[String])
+
+object LineageRow {
+  /** Max failure messages retained per partition (count stays exact). */
+  final val MaxFailureSample = 100
+}
 
 /** Raw (pre-extraction) document row: what the synthetic Iceberg-shaped input
   * table carries. Exactly one of the payload fields is populated depending on

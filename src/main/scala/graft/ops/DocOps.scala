@@ -13,7 +13,7 @@ object DocOps {
   // ----------------------------------------------------------- MIME registry
 
   /** Extension → MIME map — the reference's full constant table
-    * (mime_types.py:124-167, all 38 entries). Broadcast-friendly: tiny
+    * (mime_types.py:124-167, all 41 entries). Broadcast-friendly: tiny
     * immutable map, used via a literal map column so Catalyst constant-folds
     * lookups.
     */

@@ -114,11 +114,26 @@ object Multimodal {
     }.toDF("doc_id", "media_ref", "frame_idx", "n_frames")
   }
 
+  /** Deterministic ASCII-safe payload bytes for documents-derived media —
+    * THE single definition of the convention shared by
+    * [[docDerivedMediaTable]], `SparkEntry.docsFromDocuments`, and the SQL
+    * oracles (which fold CHARACTERS, so non-ASCII must be squashed to '?'
+    * on both sides for byte/char equivalence).
+    */
+  def docPayload(id: String, source: String): Array[Byte] =
+    s"$id:${source.replaceAll("[^ -~]", "?")}".getBytes("UTF-8")
+
+  /** Which documents-derived media rows a doc carries: every third doc a
+    * png (img-0.png), every sixth additionally a jpg (img-1.jpg).
+    */
+  def docDerivedRefs(id: Long): Seq[(String, String)] =
+    (if (id % 3 == 0) Seq("img-0.png" -> "image/png") else Nil) ++
+      (if (id % 6 == 0) Seq("img-1.jpg" -> "image/jpeg") else Nil)
+
   /** A deterministic media table DERIVED FROM the relational `documents`
-    * table (payload = UTF-8 of "doc_id:source") — the oracle-checkable input
-    * for the feature/frame plumbing, since the real extraction sidecar's
-    * synthetic corpus is not visible to the SQL oracle. Every third doc
-    * carries a png, every sixth additionally a jpg.
+    * table — the oracle-checkable input for the feature/frame plumbing,
+    * since the real extraction sidecar's synthetic corpus is not visible to
+    * the SQL oracle.
     */
   def docDerivedMediaTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
@@ -126,11 +141,8 @@ object Multimodal {
     documents.select(col("doc_id").cast("string").as("doc_id"), col("source"))
       .as[(String, String)]
       .flatMap { case (id, source) =>
-        val payload = s"$id:$source".getBytes("UTF-8")
-        val n = id.toLong
-        val png = if (n % 3 == 0) Seq(MediaRow(id, "img-0.png", "image/png", payload)) else Nil
-        val jpg = if (n % 6 == 0) Seq(MediaRow(id, "img-1.jpg", "image/jpeg", payload)) else Nil
-        png ++ jpg
+        val payload = docPayload(id, source)
+        docDerivedRefs(id.toLong).map { case (ref, mime) => MediaRow(id, ref, mime, payload) }
       }
   }
 }

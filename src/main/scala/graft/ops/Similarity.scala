@@ -43,8 +43,8 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
@@ -71,7 +71,7 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
 
     // deterministic "sampled" centroids, cell_id = rank in md5 order
     val centroids: Seq[(Int, Seq[Float])] = c
@@ -98,7 +98,7 @@ object Similarity {
     val assigned = c.withColumn("cell_id", nearestCell(col("corpus_vec")))
 
     // queries probe their nProbe nearest cells (tiny side: queries × nCells)
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val probes = q
       .select(col("query_id"), col("query_vec"), explode(centArray).as("c"))
       .select(col("query_id"), col("query_vec"), col("c.cell_id").cast("long").as("cell_id"),

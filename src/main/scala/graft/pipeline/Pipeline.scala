@@ -178,9 +178,11 @@ object Pipeline {
       .agg(
         count(when(col("failure") === "", 1)).as("doc_count"),
         coalesce(sum(size(col("spans"))), lit(0L)).as("span_count"),
-        filter(collect_list(col("failure")), f => f =!= "").as("failures"))
+        count(when(col("failure") =!= "", 1)).as("failure_count"),
+        slice(filter(collect_list(col("failure")), f => f =!= ""),
+          1, LineageRow.MaxFailureSample).as("failures"))
       .select(lit(snapshotId).as("snapshot_id"), col("partition_id"),
-        col("doc_count"), col("span_count"), col("failures"))
+        col("doc_count"), col("span_count"), col("failure_count"), col("failures"))
       .as[LineageRow]
   }
 }

@@ -74,11 +74,16 @@ object Runner {
       val pid = TaskContext.getPartitionId()
       var docCount = 0L
       var spanCount = 0L
-      val fails = ArrayBuffer.empty[String]
+      var failCount = 0L
+      val fails = ArrayBuffer.empty[String] // bounded sample, count stays exact
       var tallied = false
       new Iterator[Doc] {
         private val inner = it.flatMap { e =>
-          if (e.failure.nonEmpty) { fails += e.failure; None }
+          if (e.failure.nonEmpty) {
+            failCount += 1
+            if (fails.size < LineageRow.MaxFailureSample) fails += e.failure
+            None
+          }
           else {
             docCount += 1
             spanCount += e.spans.size
@@ -90,7 +95,7 @@ object Runner {
           val h = inner.hasNext
           if (!h && !tallied) {
             // snapshot id not yet known: filled in on the driver below
-            acc.add(LineageRow(-1L, pid, docCount, spanCount, fails.toSeq))
+            acc.add(LineageRow(-1L, pid, docCount, spanCount, failCount, fails.toSeq))
             tallied = true
           }
           h
@@ -109,7 +114,7 @@ object Runner {
       buf.toSeq
     }
     val okCount = parts.map(_.doc_count).sum
-    val failureCount = parts.map(_.failures.size.toLong).sum
+    val failureCount = parts.map(_.failure_count).sum
     val pendingCount = okCount + failureCount
     if (okCount == 0) {
       // nothing committable: either fully resumed, or only permanently
@@ -154,7 +159,7 @@ object Runner {
           .agg(count(lit(1)).as("doc_count"),
             coalesce(sum(size(col("spans"))), lit(0L)).as("span_count"))
           .select(lit(docsSnapshotId).as("snapshot_id"), col("partition_id"),
-            col("doc_count"), col("span_count"),
+            col("doc_count"), col("span_count"), lit(0L).as("failure_count"),
             array().cast("array<string>").as("failures"))
         if (!lineage.isEmpty) TableIO.commit(lineage, metricsTableDir)
       }

@@ -123,14 +123,25 @@ class TopKSpec extends AnyFunSuite {
   }
 
   test("buffer insert/absorb is bounded and ordered (unit)") {
+    def L(v: Long): AnyRef = java.lang.Long.valueOf(v)
     val b = new graft.functions.TopKBuf(2)
-    b.insert(0.1, 9); b.insert(0.3, 5); b.insert(0.2, 7); b.insert(0.3, 4)
+    b.insert(0.1, L(9)); b.insert(0.3, L(5)); b.insert(0.2, L(7)); b.insert(0.3, L(4))
     assert(b.n == 2)
-    assert((b.scores.take(2).toSeq, b.ids.take(2).toSeq) == (Seq(0.3, 0.3), Seq(4L, 5L)))
+    assert((b.scores.take(2).toSeq, b.ids.take(2).toSeq) == (Seq(0.3, 0.3), Seq(L(4), L(5))))
     val other = new graft.functions.TopKBuf(2)
-    other.insert(0.9, 1)
+    other.insert(0.9, L(1))
     other.absorb(b)
-    assert((other.scores.take(2).toSeq, other.ids.take(2).toSeq) == (Seq(0.9, 0.3), Seq(1L, 4L)))
+    assert((other.scores.take(2).toSeq, other.ids.take(2).toSeq) == (Seq(0.9, 0.3), Seq(L(1), L(4))))
+  }
+
+  test("top-k accepts string ids (doc_id shape), ordered lexicographically on ties") {
+    import spark.implicits._
+    val rows = Seq(("q", 0.8, "doc-b"), ("q", 0.8, "doc-a"), ("q", 0.9, "doc-z"), ("q", 0.1, "doc-c"))
+      .toDF("query_id", "cosine", "corpus_id").repartition(3)
+    val out = rows.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(col("cosine"), col("corpus_id"), 3).as("top"))
+      .select(col("top")).as[Seq[(Double, String)]].head()
+    assert(out == Seq((0.9, "doc-z"), (0.8, "doc-a"), (0.8, "doc-b")))
   }
 
   test("bruteForceTopK ranks match an explicit window-sort computation") {

@@ -102,6 +102,35 @@ class Regression2Spec extends AnyFunSuite {
     assert(tblIdx > capIdx, texts)
   }
 
+  test("HtmlExtract title: first <title> only, svg titles excluded, unclosed title recovers") {
+    import graft.extract.HtmlExtract.extract
+    // inline-SVG accessibility titles must not pollute the document title
+    val svg = extract("<html><head><title>Report</title></head><body>" +
+      "<svg><title>menu icon</title><path d='m0 0'/></svg>" +
+      "<p>Body paragraph long enough to keep.</p></body></html>")
+    assert(svg.title == "Report")
+    assert(svg.spans.exists(_.text == "Body paragraph long enough to keep."))
+    // a second <title> later in the document does not override the first
+    assert(extract("<head><title>First</title></head><body><title>Second</title>" +
+      "<p>Content body long enough.</p></body>").title == "First")
+    // malformed unclosed <title>: capture stops at the next tag instead of
+    // swallowing the whole body into the title
+    val unclosed = extract("<html><head><title>Broken" +
+      "</head><body><p>The body text must survive this malformed head.</p></body></html>")
+    assert(unclosed.title == "Broken")
+    assert(unclosed.spans.exists(_.text == "The body text must survive this malformed head."))
+  }
+
+  test("chunk_boundary payload values cannot break out of the comment wrapper") {
+    val b = Markdown.createChunkBoundary(0, Nil, Seq("note" -> "a-->b", "nl" -> "x\ny"))
+    assert(!b.drop(4).dropRight(3).contains("-->"), b) // no early comment terminator
+    assert(!b.contains("\n"))
+    // still parses as a single boundary span
+    val spans = Markdown.parse("before\n\n" + b + "\n\nafter")
+    assert(spans.map(_.kind) == Seq(SpanKind.Text, SpanKind.ChunkBoundary, SpanKind.Text))
+    assert(spans(1).text.contains("\\u003e") && spans(1).text.contains("\\u000a"))
+  }
+
   test("PortableHash.h60 matches md5-hex-prefix parse (python/DuckDB cross-check)") {
     import graft.functions.{Md5ShingleH60, PortableHash}
     // int(hashlib.md5(s).hexdigest()[:15], 16) — values computed externally
