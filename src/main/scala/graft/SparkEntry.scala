@@ -324,6 +324,29 @@ object SparkEntry {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.docDerivedMediaTable(tbl(s, dir, "documents")))),
+    "q_media_resize" -> ((s, dir) => {
+      // REAL javax.imageio decode → area-average downscale → PNG re-encode
+      // over per-doc synthesized PNGs (solid color, deterministic dims);
+      // output dims are pure arithmetic, so the oracle checks them exactly
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val w = 30 + (id % 100).toInt
+          val h = 20 + (id % 50).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            g.setColor(new java.awt.Color((id % 256).toInt, 80, 160))
+            g.fillRect(0, 0, w, h)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRow(id.toString, "img-0.png", "image/png", bos.toByteArray)
+        }
+      Multimodal.resizeImages(media, maxDim = 64)
+        .select(col("doc_id"), col("width"), col("height"), col("resized"))
+    }),
     "q_media_table" -> ((s, dir) => {
       // the REAL extraction sidecar: (doc_id, media_ref, mime_type, content)
       // projected from the docs table's media column; summarized per mime.
@@ -706,6 +729,19 @@ object SparkEntry {
         |  round(CAST((ph // 16) % 256 AS DOUBLE) / 255.0 * 10000) / 10000 AS mean_luma,
         |  ph AS phash
         |FROM h""".stripMargin,
+    "q_media_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(30 + doc_id % 100 AS INT) AS w,
+        |         CAST(20 + doc_id % 50 AS INT) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(w, h) > 64
+        |       THEN CAST(round(w * 64.0 / greatest(w, h)) AS INT) ELSE w END AS width,
+        |  CASE WHEN greatest(w, h) > 64
+        |       THEN CAST(round(h * 64.0 / greatest(w, h)) AS INT) ELSE h END AS height,
+        |  greatest(w, h) > 64 AS resized
+        |FROM d""".stripMargin,
     "q_frame_sample" ->
       s"""WITH m AS (
         |  SELECT doc_id, 'img-0.png' AS media_ref,

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample run as batched per-partition transforms (the Scala
   * analog of `mapInPandas` — one JVM call per batch, vectorizable).
   *
-  * The actual codec step is STUBBED (no image/audio libraries ship in this
-  * container): `FakeCodec` produces deterministic pseudo-features from the
-  * bytes, so the Spark-side plumbing — schema, partitioning, batch shape,
-  * null/err handling — is real and tested, and swapping in a real codec is a
-  * one-function change. The stub arithmetic is mod-(2^31-1) byte folding, so
-  * a SQL oracle (DuckDB) reproduces every feature exactly.
+  * Two codecs behind one [[Multimodal.MediaCodec]] seam:
+  *   - [[Multimodal.ImageIoCodec]] — REAL image decode via the JDK's
+  *     `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP): true width/height/channels,
+  *     mean luma (Rec.601), and a 64-bit dHash perceptual fingerprint
+  *     (public difference-hash technique). Headless, no external libraries.
+  *   - [[Multimodal.FakeCodec]] — deterministic pseudo-features from a
+  *     mod-(2^31-1) byte fold, reproducible in plain SQL: the
+  *     oracle-checkable path, and the stand-in for formats the JDK cannot
+  *     decode (audio/video stay stubbed — no codec libs in this container).
   */
 object Multimodal {
 
@@ -45,13 +48,106 @@ object Multimodal {
     graft.pipeline.Pipeline.toMediaDF(docs).as[MediaRow]
   }
 
-  /** STUB codec: deterministic pseudo-decode. A real deployment swaps this
-    * single function for an ImageIO/ffmpeg call — everything around it
-    * (schema, batching, error capture) is production-shaped. All arithmetic
-    * is mod 2^31-1 (no 64-bit wraparound), so the features are reproducible
-    * in ANSI SQL engines for oracle checking.
+  /** The decode seam: (mime, bytes) → (width, height, channels, mean_luma,
+    * phash); throws on undecodable payloads (callers turn that into
+    * `decode_error` rows, never task failures).
     */
-  object FakeCodec {
+  trait MediaCodec extends Serializable {
+    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int, Double, Long)
+  }
+
+  /** REAL image decode via the JDK's javax.imageio (headless): PNG, JPEG,
+    * BMP, GIF, WBMP. Features:
+    *   - width/height/channels from the decoded raster,
+    *   - mean_luma = mean Rec.601 luma over a ≤64×64 sample grid in [0,1]
+    *     (rounded to 4 decimals, like the stub),
+    *   - phash = 64-bit dHash (difference hash, public technique): 9×8
+    *     grayscale grid by box-averaging, bit b set when cell (x,y) is
+    *     brighter than cell (x+1,y).
+    * Deterministic: pure pixel arithmetic on the decoded raster.
+    */
+  object ImageIoCodec extends MediaCodec {
+    System.setProperty("java.awt.headless", "true")
+
+    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int, Double, Long) = {
+      if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException(s"undecodable payload ($mime)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getColorModel.getNumComponents
+      // mean luma over a bounded sample grid (≤64×64 so huge images stay O(1))
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var sum = 0.0
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += luma(img.getRGB(x, y)); n += 1
+          x += sx
+        }
+        y += sy
+      }
+      val meanLuma = math.rint(sum / n / 255.0 * 10000) / 10000
+      (w, h, channels, meanLuma, dHash(img))
+    }
+
+    private def luma(rgb: Int): Double = {
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+
+    /** 64-bit dHash: box-average the image into a 9×8 grayscale grid, set
+      * bit (y*8 + x) when grid(x,y) > grid(x+1,y).
+      */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val gw = 9
+      val gh = 8
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = Array.ofDim[Double](gh, gw)
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+          val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+          var s = 0.0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) { s += luma(img.getRGB(x, y)); x += 1 }
+            y += 1
+          }
+          grid(gy)(gx) = s / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < 8) {
+          if (grid(y)(x) > grid(y)(x + 1)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+  }
+
+  /** STUB codec: deterministic pseudo-decode for payloads the JDK cannot
+    * decode (audio/video) and for oracle checking. All arithmetic is mod
+    * 2^31-1 (no 64-bit wraparound), so the features are reproducible in ANSI
+    * SQL engines.
+    */
+  object FakeCodec extends MediaCodec {
     final val P: Long = 2147483647L // 2^31 - 1
 
     /** (h*31 + byte) mod P fold — the same shape as TextAnalysis.fingerprint. */
@@ -76,15 +172,18 @@ object Multimodal {
   /** Feature extraction over the media table: batched per-partition map.
     * Decode failures (including payload-less refs, where the source carried
     * only a reference) become rows with `decode_error` set (lineage-friendly),
-    * never task failures.
+    * never task failures. Default codec is the portable stub (oracle path);
+    * pass [[ImageIoCodec]] for real image decode.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         try {
-          val (w, h, c, luma, ph) = FakeCodec.decode(r.mime_type, r.content)
+          val (w, h, c, luma, ph) = codec.decode(r.mime_type, r.content)
           MediaFeatures(r.doc_id, r.media_ref, r.mime_type,
             if (r.content == null) 0 else r.content.length, w, h, c, luma, ph, "")
         } catch {
@@ -112,6 +211,58 @@ object Multimodal {
         (r.doc_id, r.media_ref, f, pseudoFrameCount)
       }
     }.toDF("doc_id", "media_ref", "frame_idx", "n_frames")
+  }
+
+  final case class ResizedMedia(
+      doc_id: String,
+      media_ref: String,
+      mime_type: String,
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      resized: Boolean,
+      error: String)
+
+  /** Real image downscale — the reference's PNG→WebP downscale rewrite
+    * analog (utils.py:101-128; the JDK ships no WebP encoder, so output
+    * stays PNG — documented): images whose longest side exceeds `maxDim`
+    * are scaled down (area-averaging) and PNG re-encoded; smaller images and
+    * undecodable payloads pass through unchanged with an error note.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int = 256): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            if (r.content == null) Array.emptyByteArray else r.content))
+          if (img == null) throw new IllegalArgumentException(s"undecodable payload (${r.mime_type})")
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (math.max(w, h) <= maxDim) {
+            ResizedMedia(r.doc_id, r.media_ref, r.mime_type, r.content, w, h, resized = false, "")
+          } else {
+            val scale = maxDim.toDouble / math.max(w, h)
+            val nw = math.max(1, math.round(w * scale).toInt)
+            val nh = math.max(1, math.round(h * scale).toInt)
+            val scaled = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try g.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING),
+              0, 0, null)
+            finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            ResizedMedia(r.doc_id, r.media_ref, "image/png", bos.toByteArray, nw, nh,
+              resized = true, "")
+          }
+        } catch {
+          case e: Exception =>
+            ResizedMedia(r.doc_id, r.media_ref, r.mime_type, r.content, 0, 0,
+              resized = false, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
   }
 
   /** Deterministic ASCII-safe payload bytes for documents-derived media —

@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.pipeline.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real (javax.imageio) codec path: genuine PNG/JPEG decode, dHash, resize. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
+
+  private def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG/JPEG: exact dims, channels, luma") {
+    // uniform mid-gray 40×20: luma = 128/255
+    val gray = png(40, 20, (_, _) => 0x808080)
+    val (w, h, c, luma, _) = Multimodal.ImageIoCodec.decode("image/png", gray)
+    assert((w, h, c) == (40, 20, 3))
+    assert(luma == math.rint(128.0 / 255.0 * 10000) / 10000)
+    // RGBA png reports 4 channels
+    val argb = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", bos)
+    assert(Multimodal.ImageIoCodec.decode("image/png", bos.toByteArray)._3 == 4)
+    // jpeg round-trip decodes with true dimensions
+    val src = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", jb)
+    val (jw, jh, jc, _, _) = Multimodal.ImageIoCodec.decode("image/jpeg", jb.toByteArray)
+    assert((jw, jh, jc) == (33, 17, 3))
+  }
+
+  test("dHash is stable for identical pixels, differs across gradients, tracks structure") {
+    val leftBright = png(64, 64, (x, _) => if (x < 32) 0xffffff else 0x000000)
+    val rightBright = png(64, 64, (x, _) => if (x >= 32) 0xffffff else 0x000000)
+    val h1 = Multimodal.ImageIoCodec.decode("image/png", leftBright)._5
+    val h1b = Multimodal.ImageIoCodec.decode("image/png", png(64, 64, (x, _) => if (x < 32) 0xffffff else 0x000000))._5
+    val h2 = Multimodal.ImageIoCodec.decode("image/png", rightBright)._5
+    assert(h1 == h1b)
+    assert(h1 != h2)
+    // a downscaled copy keeps a close dHash (the perceptual property)
+    val big = png(128, 128, (x, y) => ((x * 2) << 16) | ((y * 2) << 8) | 64)
+    val small = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+      val s = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = s.createGraphics()
+      g.drawImage(img.getScaledInstance(32, 32, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(s, "png", bos)
+      bos.toByteArray
+    }
+    val hb = Multimodal.ImageIoCodec.decode("image/png", big)._5
+    val hs = Multimodal.ImageIoCodec.decode("image/png", small)._5
+    assert(java.lang.Long.bitCount(hb ^ hs) <= 10,
+      s"dHash hamming ${java.lang.Long.bitCount(hb ^ hs)} too high for a scaled copy")
+  }
+
+  test("extractFeatures with the real codec over a Spark media table") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow("d1", "img-0.png", "image/png", png(24, 12, (_, _) => 0x406080)),
+      Multimodal.MediaRow("d2", "img-0.png", "image/png", "not an image".getBytes("UTF-8")),
+      Multimodal.MediaRow("d3", "img-0.png", "image/png", Array.emptyByteArray))
+    val out = Multimodal.extractFeatures(spark.createDataset(rows), Multimodal.ImageIoCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out("d1").decode_error == "" && out("d1").width == 24 && out("d1").height == 12)
+    assert(out("d2").decode_error.contains("undecodable"))
+    assert(out("d3").decode_error.contains("empty payload"))
+  }
+
+  test("resizeImages caps the longest side, re-encodes PNG, passes small/undecodable through") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow("big", "img-0.png", "image/png", png(200, 100, (x, y) => (x << 16) | y)),
+      Multimodal.MediaRow("small", "img-0.png", "image/png", png(30, 20, (_, _) => 0x123456)),
+      Multimodal.MediaRow("bad", "img-0.png", "image/png", "junk".getBytes("UTF-8")))
+    val out = Multimodal.resizeImages(spark.createDataset(rows), maxDim = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out("big").resized && out("big").width == 64 && out("big").height == 32)
+    // the resized payload is itself a decodable PNG with the new dims
+    val back = Multimodal.ImageIoCodec.decode("image/png", out("big").content)
+    assert((back._1, back._2) == (64, 32))
+    assert(!out("small").resized && out("small").width == 30 && out("small").error == "")
+    assert(!out("bad").resized && out("bad").error.contains("undecodable"))
+  }
+
+  test("azureFieldMetadata mirrors valueString-or-content (utils.py:33-42)") {
+    val m = graft.extract.Normalize.azureFieldMetadata(Seq(
+      "Title" -> Map("valueString" -> "Quarterly Report", "content" -> "ignored"),
+      "Author" -> Map("valueString" -> "", "content" -> "A. Writer"),
+      "Empty" -> Map.empty))
+    assert(m == Map("Title" -> "Quarterly Report", "Author" -> "A. Writer", "Empty" -> ""))
+  }
+}
