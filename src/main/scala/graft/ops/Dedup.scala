@@ -45,11 +45,17 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
-  /** Survivors of exact dedup: one row per distinct content. */
+  /** Survivors of exact dedup: one row per distinct content, the minimal-id
+    * row winning. `min_by` under a hash aggregate — map-side partial
+    * reduction, no window sort exchange (the round-number-window formulation
+    * sorts every row through one exchange; ids are unique so min_by's
+    * pick is deterministic).
+    */
   def exactSurvivors(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val cols = docs.columns
+    docs.groupBy(sha2(col(textCol), 256).as("__content_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
   // ---------------------------------------------------------------- minhash

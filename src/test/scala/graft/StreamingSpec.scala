@@ -50,3 +50,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Streaming document extraction + dedup (round 2): identical semantics to
+  * the batch path, micro-batched.
+  */
+class DocStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  lazy val spark = graft.pipeline.Pipeline.session("local[4]", 4, "graft-test")
+
+  test("streaming extraction equals the batch extraction, span for span") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString + "/raw"
+    val gens = (0L until 120L).map(i => graft.io.SyntheticDocs.generate(seed = 42, i))
+    spark.createDataset(gens.map(_.raw)).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.streaming.EventStream.runOnce(
+      graft.streaming.DocStream.extractStream(spark, dir, schema), "doc_stream")
+    try {
+      val streamed = spark.sql("SELECT doc_id, spans FROM doc_stream")
+        .as[(String, Seq[graft.model.Span])].collect().toMap
+      assert(streamed.size == 120)
+      gens.foreach(g => assert(streamed(g.raw.doc_id) == g.expected, g.raw.doc_id))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup emits one row per distinct content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString + "/raw"
+    Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = graft.streaming.EventStream.runOnce(
+      graft.streaming.DocStream.dedupStream(src), "dedup_stream")
+    try {
+      val rows = spark.sql("SELECT content_hash FROM dedup_stream").collect()
+      assert(rows.length == 2)
+    } finally q.stop()
+  }
+}
