@@ -28,9 +28,12 @@ object Bench {
     s
   }
 
-  /** Materialize the synthetic corpus once; reused across runs and rounds. */
+  /** Materialize the synthetic corpus once; reused across runs and rounds.
+    * The version suffix invalidates the cache whenever the generator's
+    * output changes (v2: md_docling dialect added to the kind mix).
+    */
   private def corpusPath(nDocs: Long): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_bench_corpus_$nDocs"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bench_corpus_v2_$nDocs"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val s = mkSession(32)
       import s.implicits._

@@ -57,18 +57,19 @@ object SyntheticDocs {
 
   val PayloadKinds: Seq[String] =
     Seq("html", "pdf_layout", "md_azure", "md_datalab", "md_slides", "md_pages",
-      "md_upstage", "md_datauri")
+      "md_upstage", "md_docling", "md_datauri")
 
   def payloadKindFor(docIndex: Long): String = {
     val h = splitmix64(docIndex * 31 + 7)
     val r = math.abs(h % 100)
-    if (r < 30) "html"
-    else if (r < 60) "pdf_layout"
-    else if (r < 70) "md_azure"
-    else if (r < 80) "md_datalab"
-    else if (r < 85) "md_slides"
-    else if (r < 92) "md_pages"
-    else if (r < 95) "md_upstage"
+    if (r < 28) "html"
+    else if (r < 56) "pdf_layout"
+    else if (r < 66) "md_azure"
+    else if (r < 76) "md_datalab"
+    else if (r < 81) "md_slides"
+    else if (r < 88) "md_pages"
+    else if (r < 92) "md_upstage"
+    else if (r < 96) "md_docling"
     else "md_datauri"
   }
 
@@ -93,6 +94,7 @@ object SyntheticDocs {
       case "md_slides" => genSlides(docId, nPages, rng)
       case "md_pages" => genPages(docId, nPages, rng)
       case "md_upstage" => genUpstage(docId, nPages, rng)
+      case "md_docling" => genDocling(docId, nPages, rng)
       case "md_datauri" => genDataUri(docId, rng)
     }
   }
@@ -191,6 +193,20 @@ object SyntheticDocs {
       case _ => ()
     }
     GenDoc(RawDoc(docId, "md_upstage", "application/pdf", raw, anchors.result(), Nil), spans)
+  }
+
+  private def genDocling(docId: String, nPages: Int, rng: DocRng): GenDoc = {
+    val spans = canonicalSpans(nPages, rng, withImages = true)
+    // inverse transform: canonical → docling raw (<!-- PageBreak --> markers
+    // from page 2 on — the renumber stage prepends page 1 — and <!-- image -->
+    // placeholders, docling_provider/provider.py:143-166)
+    val raw = spans.map {
+      case s if s.kind == SpanKind.PageBreak =>
+        if (Markdown.extractNextPage(s.text) == 1) "" else "<!-- PageBreak -->"
+      case s if s.kind == SpanKind.Image => "<!-- image -->"
+      case s => s.text
+    }.filter(_.nonEmpty).mkString("\n\n")
+    GenDoc(RawDoc(docId, "md_docling", "application/pdf", raw, Nil, Nil), spans)
   }
 
   private def genDataUri(docId: String, rng: DocRng): GenDoc = {
