@@ -106,18 +106,28 @@ object PdfLayout {
   final case class PageDims(page: Int, width: Double, height: Double)
 
   /** Page metadata from positioned elements — the `get_pdf_info` analog
-    * (pdf_utils.py:187-256): page count + per-page dims; encryption is not
-    * representable in the element model (always false).
+    * (pdf_utils.py:187-256): page count + per-page dims + title. Fields with
+    * no analog in the element model are fixed and documented: encryption and
+    * author live in the PDF byte trailer/info dictionary, which this stage
+    * never sees (no PDF-byte parsing — stated limitation), so
+    * `is_encrypted = false` and `author = ""`. The title analog is the
+    * first-page leading heading (what marker/docling surface as the doc
+    * title when the info dictionary is absent).
     */
   final case class PageMeta(
       page_count: Int,
       is_encrypted: Boolean,
-      page_dimensions: Seq[PageDims])
+      page_dimensions: Seq[PageDims],
+      title: String = "",
+      author: String = "")
 
   def pageMetadata(elements: Seq[PdfElement]): PageMeta = {
     val dims = elements.groupBy(_.page).toSeq.sortBy(_._1).map { case (p, es) =>
       PageDims(p, es.map(e => e.x + e.w).max, es.map(e => e.y + e.h).max)
     }
-    PageMeta(dims.length, is_encrypted = false, dims)
+    val title = elements.filter(e => e.kind == "text" && e.text.startsWith("# "))
+      .sortBy(e => (e.page, e.y, e.x)).headOption
+      .map(_.text.stripPrefix("# ")).getOrElse("")
+    PageMeta(dims.length, is_encrypted = false, dims, title = title)
   }
 }

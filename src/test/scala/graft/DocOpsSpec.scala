@@ -111,6 +111,15 @@ class DocOpsSpec extends AnyFunSuite {
     assert(!meta.is_encrypted)
     assert(meta.page_dimensions == Seq(
       PdfLayout.PageDims(1, 150.0, 150.0), PdfLayout.PageDims(2, 200.0, 300.0)))
+    assert(meta.title == "" && meta.author == "")
+  }
+
+  test("pageMetadata title = first-page leading heading (get_pdf_info analog)") {
+    val meta = PdfLayout.pageMetadata(Seq(
+      PdfElement(2, 0, 0, 100, 20, "text", "# Wrong: later page"),
+      PdfElement(1, 0, 40, 100, 20, "text", "# The Real Title"),
+      PdfElement(1, 0, 10, 100, 20, "text", "plain preamble text")))
+    assert(meta.title == "The Real Title")
   }
 
   test("numberedLines matches the reference projection") {
