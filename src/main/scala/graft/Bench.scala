@@ -33,7 +33,15 @@ object Bench {
     * output changes (v2: md_docling dialect added to the kind mix).
     */
   private def corpusPath(nDocs: Long): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_bench_corpus_v2_$nDocs"
+    val tmp = sys.props("java.io.tmpdir")
+    val prefix = "graft_bench_corpus_"
+    val version = "v2_"
+    // superseded corpus versions are multi-hundred-MB parquet trees: sweep
+    // any graft_bench_corpus_* dir that is not the current version
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(prefix + version))
+      .foreach(deleteRecursively)
+    val path = s"$tmp/$prefix$version$nDocs"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val s = mkSession(32)
       import s.implicits._
@@ -42,6 +50,11 @@ object Bench {
       s.stop()
     }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** One extract+assemble pass from parquet; returns (docs, seconds). */

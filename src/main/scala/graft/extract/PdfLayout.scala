@@ -125,8 +125,12 @@ object PdfLayout {
     val dims = elements.groupBy(_.page).toSeq.sortBy(_._1).map { case (p, es) =>
       PageDims(p, es.map(e => e.x + e.w).max, es.map(e => e.y + e.h).max)
     }
-    val title = elements.filter(e => e.kind == "text" && e.text.startsWith("# "))
-      .sortBy(e => (e.page, e.y, e.x)).headOption
+    // a heading on the FIRST page only: a chapter heading deep in the doc is
+    // not a document title
+    val firstPage = if (elements.isEmpty) 0 else elements.map(_.page).min
+    val title = elements
+      .filter(e => e.page == firstPage && e.kind == "text" && e.text.startsWith("# "))
+      .sortBy(e => (e.y, e.x)).headOption
       .map(_.text.stripPrefix("# ")).getOrElse("")
     PageMeta(dims.length, is_encrypted = false, dims, title = title)
   }

@@ -76,9 +76,10 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val channels = img.getColorModel.getNumComponents
-      // mean luma over a bounded sample grid (≤64×64 so huge images stay O(1))
-      val sx = math.max(1, w / 64)
-      val sy = math.max(1, h / 64)
+      // mean luma over a bounded sample grid (≤64 samples per axis — ceil
+      // division — so huge images stay O(1))
+      val sx = math.max(1, (w + 63) / 64)
+      val sy = math.max(1, (h + 63) / 64)
       var sum = 0.0
       var n = 0
       var y = 0

@@ -120,6 +120,11 @@ class DocOpsSpec extends AnyFunSuite {
       PdfElement(1, 0, 40, 100, 20, "text", "# The Real Title"),
       PdfElement(1, 0, 10, 100, 20, "text", "plain preamble text")))
     assert(meta.title == "The Real Title")
+    // a heading deep in the doc is NOT a title when page 1 has none
+    val noTitle = PdfLayout.pageMetadata(Seq(
+      PdfElement(1, 0, 0, 100, 20, "text", "page one plain text"),
+      PdfElement(3, 0, 0, 100, 20, "text", "# Chapter 3")))
+    assert(noTitle.title == "")
   }
 
   test("numberedLines matches the reference projection") {

@@ -89,3 +89,49 @@ class DocStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Review follow-ups: failure channel + the watermarked dedup branch. */
+class DocStream2Spec extends org.scalatest.funsuite.AnyFunSuite {
+
+  lazy val spark = graft.pipeline.Pipeline.session("local[4]", 4, "graft-test")
+
+  test("extractOutStream surfaces failed docs; extractStream drops them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstream2").toString + "/raw"
+    val ok = (0L until 10L).map(i => graft.io.SyntheticDocs.generate(seed = 42, i).raw)
+    val bad = graft.model.RawDoc("doc-bad", "no_such_dialect", "x", "", Nil, Nil)
+    spark.createDataset(ok :+ bad).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val qAll = graft.streaming.EventStream.runOnce(
+      graft.streaming.DocStream.extractOutStream(spark, dir, schema), "extract_all")
+    val qDocs = graft.streaming.EventStream.runOnce(
+      graft.streaming.DocStream.extractStream(spark, dir, schema), "extract_docs")
+    try {
+      val failures = spark.sql(
+        "SELECT doc_id, failure FROM extract_all WHERE failure <> ''").collect()
+      assert(failures.map(_.getString(0)).toSeq == Seq("doc-bad"))
+      assert(failures.head.getString(1).contains("unknown dialect"))
+      assert(spark.sql("SELECT count(*) FROM extract_all").head().getLong(0) == 11)
+      assert(spark.sql("SELECT count(*) FROM extract_docs").head().getLong(0) == 10)
+    } finally { qAll.stop(); qDocs.stop() }
+  }
+
+  test("watermarked dedupStream (dropDuplicatesWithinWatermark branch)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupwm").toString + "/raw"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    Seq((1L, "same text", ts(0)), (2L, "same text", ts(1)), (3L, "other text", ts(2)))
+      .toDF("doc_id", "text", "ts").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val q = graft.streaming.EventStream.runOnce(
+      graft.streaming.DocStream.dedupStream(src, tsCol = Some("ts")), "dedup_wm")
+    try {
+      assert(spark.sql("SELECT count(DISTINCT content_hash) FROM dedup_wm")
+        .head().getLong(0) == 2)
+      assert(spark.sql("SELECT count(*) FROM dedup_wm").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+}
