@@ -57,3 +57,30 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 }
+
+/** The media-sidecar-as-column design claim: span-only readers of the docs
+  * table must never touch the payload bytes — parquet column pruning.
+  */
+class ColumnPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  lazy val spark = graft.pipeline.Pipeline.session("local[4]", 4, "graft-test")
+
+  test("span-only reads of the docs table prune the media column (ReadSchema)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/docs"
+    val gens = (0L until 50L).map(i => graft.io.SyntheticDocs.generate(seed = 42, i))
+    graft.pipeline.Pipeline.toDocsDF(
+      graft.pipeline.Pipeline.extract(spark.createDataset(gens.map(_.raw))))
+      .write.parquet(dir)
+    val plan = spark.read.parquet(dir).select("doc_id", "spans")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(plan)
+    assert(readSchema.contains("spans:array"), readSchema)
+    assert(!readSchema.contains("media:array"), s"media column not pruned: $readSchema")
+    // and the media projection reads media but not spans
+    val mediaPlan = graft.pipeline.Pipeline.toMediaDF(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    val mediaRead = mediaPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse(mediaPlan)
+    assert(mediaRead.contains("media:array") && !mediaRead.contains("spans"), mediaRead)
+  }
+}
