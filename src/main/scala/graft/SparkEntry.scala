@@ -229,6 +229,21 @@ object SparkEntry {
           .withColumn("page_count", (floor(col("n_chars") / 500) + 1).cast("int")),
         col("provider"), col("page_count"))
         .select("doc_id", "provider", "page_count", "cost_usd")),
+    "q_glob_filter" -> ((s, dir) => {
+      // the convert_directory filter chain (glob + exclude + max_depth +
+      // MIME-supported) over synthesized paths: even docs live at depth 2,
+      // odd docs under an excluded sub/ dir; ext cycles pdf/html/log
+      val ext = element_at(typedlit(Seq(".pdf", ".html", ".log")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val paths = tbl(s, dir, "documents")
+        .withColumn("path",
+          concat(lit("data/"), col("source"),
+            when(pmod(col("doc_id"), lit(2)) === 1, lit("/sub")).otherwise(lit("")),
+            lit("/f"), col("doc_id"), ext))
+      DocOps.directoryFilter(paths, pattern = "data/**/f*",
+        exclude = Seq("**/sub/**"), maxDepth = 3)
+        .select(col("doc_id"), col("path"))
+    }),
     "q_mime_guess" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .withColumn("path", concat(lit("docs/f"), col("doc_id"),
@@ -500,6 +515,15 @@ object SparkEntry {
         |          WHEN 'llamaparse' THEN 0.0045 WHEN 'datalab' THEN 0.0015 END
         |        * CAST(floor(n_chars / 500) + 1 AS INT), 6) AS cost_usd
         |FROM documents""".stripMargin,
+    "q_glob_filter" ->
+      // selection logic reproduced arithmetically (no regex dependence):
+      // include data/**/f* matches all; exclude **/sub/** kills odd ids;
+      // depth = '/'-count <= 3 always holds; MIME keeps pdf/html, drops log
+      """SELECT doc_id,
+        |  'data/' || source || '/f' || doc_id ||
+        |    ['.pdf', '.html', '.log'][CAST(doc_id % 3 + 1 AS INT)] AS path
+        |FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 2""".stripMargin,
     "q_mime_guess" ->
       """SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'text/html'

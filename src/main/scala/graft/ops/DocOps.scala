@@ -101,6 +101,66 @@ object DocOps {
   def filterSupported(df: DataFrame, supported: Set[String], mimeCol: String = "mime_type"): DataFrame =
     df.filter(col(mimeCol).isInCollection(supported))
 
+  // ------------------------------------------------ directory-scan filters
+
+  /** Glob pattern → anchored regex (the pathlib/fsspec subset the reference's
+    * `convert_directory(pattern=, exclude=)` uses, base.py:343-389):
+    * `**` crosses directory separators (`**\/` matches zero or more
+    * directories), `*` and `?` stay within one path segment, everything else
+    * is literal. Only portable regex constructs are emitted (char-by-char
+    * escaping, no \\Q..\\E), so the same string works in Java and RE2 engines.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    val n = glob.length
+    while (i < n) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < n && glob.charAt(i + 1) == '*' =>
+          if (i + 2 < n && glob.charAt(i + 2) == '/') { sb ++= "(?:.*/)?"; i += 3 }
+          else { sb ++= ".*"; i += 2 }
+        case '*' => sb ++= "[^/]*"; i += 1
+        case '?' => sb ++= "[^/]"; i += 1
+        case '[' =>
+          // glob character class passes through ([!...] negates per fnmatch)
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb ++= "\\["; i += 1 }
+          else {
+            val cls = glob.substring(i + 1, close)
+            sb += '['
+            sb ++= (if (cls.startsWith("!")) "^" + cls.substring(1) else cls)
+            sb += ']'
+            i = close + 1
+          }
+        case c if "\\.]{}()+-^$|".indexOf(c) >= 0 => sb += '\\'; sb += c; i += 1
+        case c => sb += c; i += 1
+      }
+    }
+    sb += '$'
+    sb.toString
+  }
+
+  /** The reference's directory-scan filter chain (base.py:381-398) as
+    * pushable predicates over a path column: glob include pattern, exclude
+    * patterns, max directory depth ('/' count), then MIME-supported via
+    * [[guessMime]]. Everything is `rlike`/comparison — Catalyst pushes the
+    * lot into the scan.
+    */
+  def directoryFilter(
+      df: DataFrame,
+      pathCol: String = "path",
+      pattern: String = "**/*",
+      exclude: Seq[String] = Nil,
+      maxDepth: Int = 0,
+      supported: Set[String] = SupportedMimeTypes): DataFrame = {
+    val p = col(pathCol)
+    var out = df.filter(p.rlike(globToRegex(pattern)))
+    exclude.foreach(g => out = out.filter(!p.rlike(globToRegex(g))))
+    if (maxDepth > 0)
+      out = out.filter(length(p) - length(regexp_replace(p, "/", "")) <= maxDepth)
+    out.filter(guessMime(p).isInCollection(supported))
+  }
+
   // -------------------------------------------------------- cost aggregation
 
   /** Per-provider price/page constants (reference provider files; see

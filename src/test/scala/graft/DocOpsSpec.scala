@@ -135,3 +135,35 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got == Seq((0, "    1 | a"), (1, "    2 | bb")))
   }
 }
+
+/** Directory-scan filter chain (glob/exclude/max_depth, base.py:343-398). */
+class GlobFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  lazy val spark = graft.pipeline.Pipeline.session("local[4]", 4, "graft-test")
+
+  test("globToRegex: ** crosses directories, * and ? stay in one segment") {
+    def m(glob: String, path: String): Boolean = path.matches(DocOps.globToRegex(glob))
+    assert(m("**/*", "a/b/c.txt") && m("**/*", "c.txt"))
+    assert(m("*.pdf", "doc.pdf") && !m("*.pdf", "dir/doc.pdf"))
+    assert(m("data/**/f*", "data/x/y/f1.pdf") && m("data/**/f*", "data/f1.pdf"))
+    assert(!m("data/**/f*", "other/f1.pdf"))
+    assert(m("f?.txt", "f1.txt") && !m("f?.txt", "f12.txt") && !m("f?.txt", "f/.txt"))
+    assert(m("a[0-9].txt", "a7.txt"))
+    assert(m("exact.name", "exact.name") && !m("exact.name", "exactXname")) // '.' literal
+  }
+
+  test("directoryFilter chains glob + exclude + depth + MIME support") {
+    import spark.implicits._
+    val df = Seq(
+      "data/a/f1.pdf",       // keep
+      "data/a/sub/f2.pdf",   // excluded dir
+      "data/a/f3.log",       // unsupported MIME
+      "other/f4.pdf",        // include pattern miss
+      "data/a/b/c/d/f5.pdf"  // too deep (5 levels > 3)
+    ).toDF("path")
+    val kept = DocOps.directoryFilter(df, pattern = "data/**/f*",
+      exclude = Seq("**/sub/**"), maxDepth = 3)
+      .select("path").as[String].collect().toSet
+    assert(kept == Set("data/a/f1.pdf"))
+  }
+}
