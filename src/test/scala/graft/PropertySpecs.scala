@@ -180,3 +180,53 @@ object HtmlFuzzProps extends Properties("HtmlExtract") {
       spans.forall(s => s.kind != SpanKind.Image || s.media_ref.nonEmpty)
     }
 }
+
+/** Round-2 primitives: portable h60 and glob translation. */
+object PortableProps extends org.scalacheck.Properties("Portable") {
+  import org.scalacheck.{Gen, Prop}
+
+  private val asciiString = Gen.chooseNum(0, 40)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))).map(_.mkString)
+
+  /** h60 == the md5-hex-prefix integer the DuckDB oracle computes. */
+  property("h60 equals BigInteger(md5-hex[0:15], 16) and stays in [0, 2^60)") =
+    Prop.forAll(asciiString) { s =>
+      val h = graft.functions.PortableHash.h60(s)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h == new java.math.BigInteger(md.substring(0, 15), 16).longValueExact() &&
+        h >= 0L && h < (1L << 60)
+    }
+
+  /** Shingle hashing == h60 of the space-joined word windows. */
+  property("Md5ShingleH60 equals h60 over split-join shingles") =
+    Prop.forAll(Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("alpha", "beta", "gamma", "x1", "77"))), Gen.chooseNum(1, 3)) { (words, n) =>
+      val text = words.mkString(" ")
+      val got = graft.functions.Md5ShingleH60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), n, 0).toSeq
+      val expect = words.sliding(n).filter(_.size == n)
+        .map(w => graft.functions.PortableHash.h60(w.mkString(" "))).toSeq
+      got == (if (words.size < n) Nil else expect)
+    }
+
+  private val globSafeSegment = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+    Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('.', '-', '_')))).map(_.mkString)
+
+  /** A glob without metacharacters matches exactly itself. */
+  property("literal glob matches itself and nothing longer") =
+    Prop.forAll(Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, globSafeSegment))) { segs =>
+      val path = segs.mkString("/")
+      val re = graft.ops.DocOps.globToRegex(path)
+      path.matches(re) && !(path + "x").matches(re) && !("x/" + path).matches(re)
+    }
+
+  /** "**\/name" finds the name at any depth; "*" never crosses a slash. */
+  property("** crosses directories, * does not") =
+    Prop.forAll(Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, globSafeSegment)),
+      globSafeSegment) { (dirs, name) =>
+      val path = (dirs :+ name).mkString("/")
+      path.matches(graft.ops.DocOps.globToRegex(s"**/$name")) &&
+        (dirs.isEmpty || !path.matches(graft.ops.DocOps.globToRegex("*")))
+    }
+}
