@@ -319,3 +319,74 @@ object PortableHyperplaneBucket {
   def portableHyperplaneBucket(vec: Column, planes: Int): Column =
     GraftBridge.column(PortableHyperplaneBucket(GraftBridge.expression(vec), planes))
 }
+
+/** Nearest-centroid assignment as ONE native expression: argmax over a small
+  * inlined centroid matrix of the 6-decimal-rounded cosine (identical
+  * rounding and strict-> / first-max tie-break as the
+  * `aggregate(centArray, …, cosine > acc.sim)` HOF fold it replaces — the
+  * SQL oracle's `ORDER BY round(cosine,6) DESC, cell_id` rn=1). The HOF fold
+  * pays interpreted lambda eval per (row × centroid); this is one fused
+  * codegen'd loop (the centroid matrix rides along as a referenced object).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"NearestCentroid needs array<float|double>, got ${other.sql}")
+    }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.compute(input.asInstanceOf[ArrayData], isFloat, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.NearestCentroid.compute($arr, $isFloat, $cents);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Same rounding as [[CosineSim.compute]] so results are bit-identical. */
+  private def cosine(v: ArrayData, isFloat: Boolean, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val y = c(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    val r = if (denom == 0.0) 0.0 else dot / denom
+    java.math.BigDecimal.valueOf(r).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  def compute(v: ArrayData, isFloat: Boolean, centroids: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestSim = -2.0
+    var k = 0
+    while (k < centroids.length) {
+      val s = cosine(v, isFloat, centroids(k))
+      if (s > bestSim) { bestSim = s; best = k } // strict >: first max wins
+      k += 1
+    }
+    best
+  }
+
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
+      centroids.map(_.map(_.toDouble).toArray).toArray))
+}

@@ -83,19 +83,13 @@ object Similarity {
       struct(lit(cellId).as("cell_id"), typedlit(vec).as("centroid"))
     }: _*)
 
-    // nearest-centroid as a scalar fold over the literal centroid array:
-    // strict > keeps the first (lowest-cell_id) maximum, the same tie-break
-    // as (sim DESC, cell_id ASC)
-    def nearestCell(v: Column): Column =
-      aggregate(centArray,
-        struct(lit(-1).as("cell_id"), lit(-2.0).as("sim")),
-        (acc, cell) => {
-          val s = cosine(v, cell("centroid"))
-          when(s > acc("sim"),
-            struct(cell("cell_id").as("cell_id"), s.as("sim"))).otherwise(acc)
-        })("cell_id")
-
-    val assigned = c.withColumn("cell_id", nearestCell(col("corpus_vec")))
+    // nearest-centroid as ONE fused native expression (codegen'd loop over
+    // the inlined centroid matrix — the HOF-fold formulation pays interpreted
+    // lambda eval per row×centroid): strict > keeps the first (lowest
+    // cell_id) maximum, the same tie-break as (sim DESC, cell_id ASC)
+    val assigned = c.withColumn("cell_id",
+      graft.functions.NearestCentroid.nearestCentroid(
+        col("corpus_vec"), centroids.map(_._2)))
 
     // queries probe their nProbe nearest cells (tiny side: queries × nCells)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
