@@ -60,7 +60,27 @@ object Demo {
       println(f"  chunk ${c.chunk_index} header='${c.header}' media=${c.media_refs.mkString(",")} len=${c.content.length}")
     }
 
-    // 5. golden round-trip (if the reference snapshot is present)
+    // 5. round-2 features: document assembly (title/metadata/media sidecar)
+    // through the full extractOne path, plus the REAL image codec
+    val datauri = graft.io.SyntheticDocs.generate(seed = 42L,
+      (0L until 500L).find(i => graft.io.SyntheticDocs.payloadKindFor(i) == "md_datauri").get)
+    val assembled = graft.pipeline.Pipeline.extractOne(datauri.raw)
+    println("== document assembly (data-URI doc) ==")
+    println(s"  title=${assembled.title} source_path=${assembled.source_path}")
+    assembled.media.foreach(m => println(
+      s"  media ${m.media_ref} ${m.mime_type} payload=${new String(m.content, "UTF-8")}"))
+    val azureDoc = graft.pipeline.Pipeline.extractOne(
+      graft.model.RawDoc("demo-az", "md_azure", "application/pdf", raw, Nil, Nil))
+    println(s"  cost metadata (azure): ${azureDoc.metadata.toSeq.sorted.mkString(", ")}")
+
+    println("== real image codec (javax.imageio) ==")
+    val img = new java.awt.image.BufferedImage(48, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics(); g2.setColor(java.awt.Color.GRAY); g2.fillRect(0, 0, 48, 24); g2.dispose()
+    val pngBytes = { val b = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(img, "png", b); b.toByteArray }
+    val (w, h, ch, luma, phash) = graft.ops.Multimodal.ImageIoCodec.decode("image/png", pngBytes)
+    println(f"  decoded ${w}x$h channels=$ch mean_luma=$luma%.4f dhash=$phash%016x")
+
+    // 6. golden round-trip (if the reference snapshot is present)
     val ambr = new java.io.File("/root/reference/tests/__snapshots__/test_output.ambr")
     if (ambr.exists()) {
       val text = new String(java.nio.file.Files.readAllBytes(ambr.toPath))

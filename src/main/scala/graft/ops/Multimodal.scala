@@ -103,28 +103,43 @@ object Multimodal {
     }
 
     /** 64-bit dHash: box-average the image into a 9×8 grayscale grid, set
-      * bit (y*8 + x) when grid(x,y) > grid(x+1,y).
+      * bit (y*8 + x) when grid(x,y) > grid(x+1,y). Cell brightness is an
+      * INTEGER milli-luma sum compared by cross-multiplication — exact, so a
+      * uniform image hashes to 0 (double averaging over unequal cell sizes
+      * would manufacture spurious gradient bits from rounding). Sampling
+      * inside a cell is stride-bounded (≤32 per axis) so giant images decode
+      * in O(1) pixels.
       */
     def dHash(img: java.awt.image.BufferedImage): Long = {
       val gw = 9
       val gh = 8
       val w = img.getWidth
       val h = img.getHeight
-      val grid = Array.ofDim[Double](gh, gw)
+      val sums = Array.ofDim[Long](gh, gw)
+      val counts = Array.ofDim[Long](gh, gw)
       var gy = 0
       while (gy < gh) {
         var gx = 0
         while (gx < gw) {
-          val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
-          val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
-          var s = 0.0
+          val x0 = gx * w / gw; val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / gw))
+          val y0 = gy * h / gh; val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / gh))
+          val sx = math.max(1, (x1 - x0 + 31) / 32)
+          val sy = math.max(1, (y1 - y0 + 31) / 32)
+          var s = 0L
+          var n = 0L
           var y = y0
-          while (y < y1 && y < h) {
+          while (y < y1) {
             var x = x0
-            while (x < x1 && x < w) { s += luma(img.getRGB(x, y)); x += 1 }
-            y += 1
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              n += 1
+              x += sx
+            }
+            y += sy
           }
-          grid(gy)(gx) = s / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+          sums(gy)(gx) = s
+          counts(gy)(gx) = n
           gx += 1
         }
         gy += 1
@@ -134,7 +149,10 @@ object Multimodal {
       while (y < gh) {
         var x = 0
         while (x < 8) {
-          if (grid(y)(x) > grid(y)(x + 1)) bits |= 1L << (y * 8 + x)
+          // avg(x) > avg(x+1) via cross-multiplication (exact integers;
+          // sums ≤ 255000·1024 and counts ≤ 1024, far inside a long)
+          if (sums(y)(x) * counts(y)(x + 1) > sums(y)(x + 1) * counts(y)(x))
+            bits |= 1L << (y * 8 + x)
           x += 1
         }
         y += 1

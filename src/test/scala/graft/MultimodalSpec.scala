@@ -36,6 +36,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert((jw, jh, jc) == (33, 17, 3))
   }
 
+  test("dHash of a uniform image is exactly 0 (no spurious gradient bits)") {
+    val uniform = png(48, 24, (_, _) => 0x808080)
+    assert(Multimodal.ImageIoCodec.decode("image/png", uniform)._5 == 0L)
+    // and unequal cell sizes (w not divisible by 9) stay exact too
+    val odd = png(47, 23, (_, _) => 0x3a99c1)
+    assert(Multimodal.ImageIoCodec.decode("image/png", odd)._5 == 0L)
+  }
+
   test("dHash is stable for identical pixels, differs across gradients, tracks structure") {
     val leftBright = png(64, 64, (x, _) => if (x < 32) 0xffffff else 0x000000)
     val rightBright = png(64, 64, (x, _) => if (x >= 32) 0xffffff else 0x000000)
