@@ -232,6 +232,28 @@ object Multimodal {
     }.toDF("doc_id", "media_ref", "frame_idx", "n_frames")
   }
 
+  /** image_min_size analog (mistral_provider/provider.py:51-68, where the
+    * filter runs service-side): keep media whose decoded minimum dimension
+    * is at least `minSize` pixels. Undecodable payloads are dropped — they
+    * cannot demonstrate their size (route them through [[extractFeatures]]'
+    * decode_error rows first when they must be audited).
+    */
+  def filterMinSize(
+      media: Dataset[MediaRow],
+      minSize: Int,
+      codec: MediaCodec = ImageIoCodec): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.filter { r =>
+        try {
+          val (w, h, _, _, _) = codec.decode(r.mime_type, r.content)
+          math.min(w, h) >= minSize
+        } catch { case _: Exception => false }
+      }
+    }
+  }
+
   final case class ResizedMedia(
       doc_id: String,
       media_ref: String,

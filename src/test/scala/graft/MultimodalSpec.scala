@@ -99,6 +99,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out("bad").resized && out("bad").error.contains("undecodable"))
   }
 
+  test("filterMinSize keeps images >= the min dimension, drops small and undecodable") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow("big", "img-0.png", "image/png", png(100, 80, (_, _) => 0x808080)),
+      Multimodal.MediaRow("thin", "img-0.png", "image/png", png(200, 20, (_, _) => 0x808080)),
+      Multimodal.MediaRow("small", "img-0.png", "image/png", png(30, 30, (_, _) => 0x808080)),
+      Multimodal.MediaRow("bad", "img-0.png", "image/png", "junk".getBytes("UTF-8")))
+    val kept = Multimodal.filterMinSize(spark.createDataset(rows), minSize = 50)
+      .collect().map(_.doc_id).toSet
+    assert(kept == Set("big"))
+  }
+
   test("azureFieldMetadata mirrors valueString-or-content (utils.py:33-42)") {
     val m = graft.extract.Normalize.azureFieldMetadata(Seq(
       "Title" -> Map("valueString" -> "Quarterly Report", "content" -> "ignored"),
