@@ -159,6 +159,18 @@ object SparkEntry {
           .repartition(s.sparkContext.defaultParallelism), maxHamming = 8)),
     "q_embed_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), threshold = 0.2, planes = 6)),
+    "q_training_filter" -> ((s, dir) => {
+      // composed training-set selection: exact-dedup survivors → quality
+      // score → language id → token floor — the end-use shape of the
+      // training-data ops, oracle-checked as one plan
+      val survivors = Dedup.exactSurvivors(tbl(s, dir, "documents"))
+      TextAnalysis.withLanguageId(
+        survivors
+          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))))
+        .filter(col("quality") >= 0.5 && col("n_tokens") >= 20 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+    }),
     // ------------------------------------------------ similarity search
     "q_ann_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -467,6 +479,33 @@ object SparkEntry {
     "q_dedup_survivors" ->
       """SELECT doc_id, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin,
+    "q_training_filter" ->
+      """WITH surv AS (
+        |  SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+        |), q AS (
+        |  SELECT doc_id, text,
+        |    greatest(least(
+        |      (length(regexp_replace(text, '[^\p{L}]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.7
+        |      + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3, 1.0), 0.0) AS quality,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens
+        |  FROM surv
+        |), h AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS hits_en,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein|mit|auf|sich)\b')) AS INT) AS hits_de,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(le|la|les|des|est|dans|que|une|pour|qui)\b')) AS INT) AS hits_fr,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(el|la|los|las|es|que|una|para|con|por)\b')) AS INT) AS hits_es
+        |  FROM q
+        |)
+        |SELECT doc_id, quality, n_tokens FROM h
+        |WHERE quality >= 0.5 AND n_tokens >= 20
+        |  AND CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+        |       WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+        |       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+        |       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+        |       ELSE 'fr' END = 'en'""".stripMargin,
     "q_subword_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}+|[^\p{L}\p{N}\s]')) AS INT) AS n_subwords
