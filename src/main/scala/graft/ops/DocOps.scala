@@ -276,6 +276,33 @@ object DocOps {
     exportRows(docs).groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("filename"))).as("files"))
 
+  /** The literal `Document.export_to_directory` sink (tests/test_output.py:
+    * 41-49): one directory per doc under `baseDir` containing `document.md`
+    * (frontmatter + canonical markdown) and one file per referenced image
+    * with its sidecar payload bytes. Executed per partition on the executors
+    * (each writes its own docs — embarrassingly parallel; on a cluster point
+    * `baseDir` at a shared filesystem). Returns nothing; compose with
+    * [[filesList]]/[[exportRows]] for the relational view.
+    */
+  def exportToDirectory(docs: Dataset[Doc], baseDir: String): Unit =
+    docs.foreachPartition { it: Iterator[Doc] =>
+      it.foreach { d =>
+        val dir = java.nio.file.Paths.get(baseDir, d.doc_id)
+        java.nio.file.Files.createDirectories(dir)
+        val md = Markdown.renderWithFrontmatter(d.spans,
+          title = if (d.title.nonEmpty) d.title else d.doc_id,
+          sourcePath = d.source_path, mimeType = d.mime_type,
+          pageCount = Markdown.pageCount(d.spans))
+        java.nio.file.Files.write(dir.resolve("document.md"),
+          md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val payload = d.media.map(m => m.media_ref -> m.content).toMap
+        d.spans.filter(_.kind == SpanKind.Image).foreach { s =>
+          java.nio.file.Files.write(dir.resolve(s.media_ref),
+            payload.getOrElse(s.media_ref, Array.emptyByteArray))
+        }
+      }
+    }
+
   // ------------------------------------------------- verification join
 
   /** Golden-fixture verification join: per-doc span-sequence equality

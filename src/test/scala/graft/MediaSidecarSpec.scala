@@ -80,6 +80,25 @@ class MediaSidecarSpec extends AnyFunSuite {
     assert(docs(slides.raw.doc_id).metadata.isEmpty)
   }
 
+  test("exportToDirectory writes document.md + image files (test_output.py:41-49)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("export").toString
+    val sample = gens.filter(_.raw.payload_kind == "md_datauri").take(3)
+      .map(g => docs(g.raw.doc_id))
+    DocOps.exportToDirectory(spark.createDataset(sample), base)
+    sample.foreach { d =>
+      val dir = java.nio.file.Paths.get(base, d.doc_id)
+      // sorted file list matches the snapshot shape: document.md + images
+      val files = dir.toFile.list().sorted.toSeq
+      assert(files == Seq("document.md", "img-0.png"), files)
+      val md = new String(java.nio.file.Files.readAllBytes(dir.resolve("document.md")), "UTF-8")
+      assert(md.startsWith(s"---\ntitle: ${d.doc_id}\n"), md.take(80))
+      assert(graft.md.Markdown.parse(md) == d.spans) // content round-trips
+      val img = java.nio.file.Files.readAllBytes(dir.resolve("img-0.png"))
+      assert(new String(img, "UTF-8") == s"${d.doc_id}-image-bytes") // real payload
+    }
+  }
+
   test("exportRows writes real image payloads (test_output.py:41-49 analog)") {
     import spark.implicits._
     val datauriDocs = gens.filter(_.raw.payload_kind == "md_datauri").map(g => docs(g.raw.doc_id))
