@@ -328,8 +328,14 @@ object PortableHyperplaneBucket {
   * pays interpreted lambda eval per (row × centroid); this is one fused
   * codegen'd loop (the centroid matrix rides along as a referenced object).
   */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression {
+  // Seq fields give structural case-class equality (Array would be reference
+  // equality, defeating Catalyst canonicalization/CSE); compute uses the
+  // primitive matrix
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -345,10 +351,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override def nullSafeEval(input: Any): Any =
-    NearestCentroid.compute(input.asInstanceOf[ArrayData], isFloat, centroids)
+    NearestCentroid.compute(input.asInstanceOf[ArrayData], isFloat, matrix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cents = ctx.addReferenceObj("centroids", matrix, "double[][]")
     nullSafeCodeGen(ctx, ev, arr =>
       s"${ev.value} = graft.functions.NearestCentroid.compute($arr, $isFloat, $cents);")
   }
@@ -388,5 +394,5 @@ object NearestCentroid {
 
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
-      centroids.map(_.map(_.toDouble).toArray).toArray))
+      centroids.map(_.map(_.toDouble))))
 }

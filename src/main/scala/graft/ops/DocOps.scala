@@ -122,13 +122,23 @@ object DocOps {
         case '*' => sb ++= "[^/]*"; i += 1
         case '?' => sb ++= "[^/]"; i += 1
         case '[' =>
-          // glob character class passes through ([!...] negates per fnmatch)
-          val close = glob.indexOf(']', i + 1)
+          // glob character class ([!...] negates; a ']' FIRST in the class is
+          // a literal member; an unclosed '[' is literal — all per fnmatch)
+          val negated = i + 1 < n && glob.charAt(i + 1) == '!'
+          val contentStart = i + (if (negated) 2 else 1)
+          val searchFrom =
+            if (contentStart < n && glob.charAt(contentStart) == ']') contentStart + 1
+            else contentStart
+          val close = glob.indexOf(']', searchFrom)
           if (close < 0) { sb ++= "\\["; i += 1 }
           else {
-            val cls = glob.substring(i + 1, close)
+            var cls = glob.substring(contentStart, close)
+              .replace("\\", "\\\\").replace("[", "\\[")
+            if (cls.startsWith("]")) cls = "\\]" + cls.substring(1)
+            if (!negated && cls.startsWith("^")) cls = "\\^" + cls.substring(1)
             sb += '['
-            sb ++= (if (cls.startsWith("!")) "^" + cls.substring(1) else cls)
+            if (negated) sb += '^'
+            sb ++= cls
             sb += ']'
             i = close + 1
           }
@@ -248,26 +258,39 @@ object DocOps {
     * test_output.ambr:2-15). The files_list is sorted like the reference
     * snapshot (tests/test_output.py:47).
     */
+  /** The export file set for one doc, sorted by filename (the snapshot's
+    * sorted file list, test_output.ambr:2-15): `document.md` bytes
+    * (frontmatter + canonical markdown) plus one entry per referenced image
+    * with its sidecar payload — the SINGLE definition both export sinks
+    * ([[exportRows]], [[exportToDirectory]]) share so they cannot diverge.
+    */
+  def perDocFiles(d: Doc): Seq[(String, Array[Byte])] = {
+    val md = Markdown.renderWithFrontmatter(d.spans,
+      title = if (d.title.nonEmpty) d.title else d.doc_id,
+      sourcePath = d.source_path, mimeType = d.mime_type,
+      pageCount = Markdown.pageCount(d.spans))
+    val payload: Map[String, Array[Byte]] =
+      d.media.map(m => m.media_ref -> m.content).toMap
+    val images = d.spans.filter(_.kind == SpanKind.Image)
+      .map(s => (s.media_ref, payload.getOrElse(s.media_ref, Array.emptyByteArray)))
+    (("document.md", md.getBytes(java.nio.charset.StandardCharsets.UTF_8)) +: images)
+      .sortBy(_._1)
+  }
+
   def exportRows(docs: Dataset[Doc]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.flatMap { d =>
-      val md = Markdown.renderWithFrontmatter(d.spans,
-        title = if (d.title.nonEmpty) d.title else d.doc_id,
-        sourcePath = d.source_path, mimeType = d.mime_type,
-        pageCount = Markdown.pageCount(d.spans))
-      // file list = referenced images (the snapshot's sorted file list);
-      // payloads come from the sidecar media column where the source carried
-      // bytes (base64-encoded here — the content column is string-typed)
-      val payload: Map[String, Array[Byte]] =
-        d.media.map(m => m.media_ref -> m.content).toMap
-      val images = d.spans.filter(_.kind == SpanKind.Image)
-        .map { s =>
-          val bytes = payload.getOrElse(s.media_ref, Array.emptyByteArray)
-          val b64 = if (bytes.isEmpty) "" else java.util.Base64.getEncoder.encodeToString(bytes)
-          (d.doc_id, s.media_ref, b64)
-        }
-      ((d.doc_id, "document.md", md) +: images).sortBy(_._2)
+      perDocFiles(d).map { case (filename, bytes) =>
+        // the content column is string-typed: document.md verbatim, image
+        // payloads base64-encoded, payload-less refs empty
+        val content =
+          if (filename == "document.md")
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          else if (bytes.isEmpty) ""
+          else java.util.Base64.getEncoder.encodeToString(bytes)
+        (d.doc_id, filename, content)
+      }
     }.toDF("doc_id", "filename", "content")
   }
 
@@ -289,16 +312,8 @@ object DocOps {
       it.foreach { d =>
         val dir = java.nio.file.Paths.get(baseDir, d.doc_id)
         java.nio.file.Files.createDirectories(dir)
-        val md = Markdown.renderWithFrontmatter(d.spans,
-          title = if (d.title.nonEmpty) d.title else d.doc_id,
-          sourcePath = d.source_path, mimeType = d.mime_type,
-          pageCount = Markdown.pageCount(d.spans))
-        java.nio.file.Files.write(dir.resolve("document.md"),
-          md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val payload = d.media.map(m => m.media_ref -> m.content).toMap
-        d.spans.filter(_.kind == SpanKind.Image).foreach { s =>
-          java.nio.file.Files.write(dir.resolve(s.media_ref),
-            payload.getOrElse(s.media_ref, Array.emptyByteArray))
+        perDocFiles(d).foreach { case (filename, bytes) =>
+          java.nio.file.Files.write(dir.resolve(filename), bytes)
         }
       }
     }

@@ -232,24 +232,40 @@ object Multimodal {
     }.toDF("doc_id", "media_ref", "frame_idx", "n_frames")
   }
 
+  /** Header-only image dimensions (no raster decode — ImageIO readers parse
+    * just the header for getWidth/getHeight): O(header bytes) per image.
+    * None when no installed reader recognizes the payload.
+    */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** image_min_size analog (mistral_provider/provider.py:51-68, where the
     * filter runs service-side): keep media whose decoded minimum dimension
-    * is at least `minSize` pixels. Undecodable payloads are dropped — they
-    * cannot demonstrate their size (route them through [[extractFeatures]]'
-    * decode_error rows first when they must be audited).
+    * is at least `minSize` pixels. Dimensions come from the image HEADER
+    * only — a full-raster decode per row just to read (w, h) would be
+    * orders-of-magnitude wasted work at scale. Unrecognizable payloads are
+    * dropped — they cannot demonstrate their size (route them through
+    * [[extractFeatures]]' decode_error rows first when they must be audited).
     */
-  def filterMinSize(
-      media: Dataset[MediaRow],
-      minSize: Int,
-      codec: MediaCodec = ImageIoCodec): Dataset[MediaRow] = {
+  def filterMinSize(media: Dataset[MediaRow], minSize: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.filter { r =>
-        try {
-          val (w, h, _, _, _) = codec.decode(r.mime_type, r.content)
-          math.min(w, h) >= minSize
-        } catch { case _: Exception => false }
+        imageDims(r.content).exists { case (w, h) => math.min(w, h) >= minSize }
       }
     }
   }

@@ -150,6 +150,13 @@ class GlobFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m("f?.txt", "f1.txt") && !m("f?.txt", "f12.txt") && !m("f?.txt", "f/.txt"))
     assert(m("a[0-9].txt", "a7.txt"))
     assert(m("exact.name", "exact.name") && !m("exact.name", "exactXname")) // '.' literal
+    // fnmatch class edges: leading ']' is a literal member; '[!...]' negates;
+    // an unclosed '[' is literal — none of these may throw
+    assert(m("a[]]b", "a]b") && !m("a[]]b", "axb"))
+    assert(m("a[!x]b", "ayb") && !m("a[!x]b", "axb"))
+    assert(m("a[!]b", "a[!]b")) // unclosed class → literal
+    assert(m("lit[", "lit["))
+    assert(!m("a[^x]b", "ayb") && m("a[^x]b", "a^b")) // '^' literal, not negation
   }
 
   test("directoryFilter chains glob + exclude + depth + MIME support") {
