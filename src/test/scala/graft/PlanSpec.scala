@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import graft.pipeline.{Pipeline, SpanOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests locking the scale claims: the ops that were
+  * rewritten away from window sorts must never silently regrow a Window
+  * exchange, and pushable predicates must reach the scan. (Plan drift is a
+  * regression class — see graft.Plans for the human-audit dump.)
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val vecs = {
+    import spark.implicits._
+    (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.3 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ANN top-k plans carry a partial aggregate, not a window sort") {
+    val bf = plan(Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3), k = 4))
+    assert(!bf.contains("Window"), bf)
+    assert(bf.contains("ObjectHashAggregate"), bf)
+    val ivfDf = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3),
+      k = 4, nCells = 4, nProbe = 2)
+    val ivf = plan(ivfDf)
+    assert(!ivf.contains("Window"), ivf)
+    // assignment is a pure projection (the optimizer even constant-folds it
+    // for this in-memory relation); the native expression is in the logical
+    // plan and nothing introduces an Exchange below the scored join's
+    // corpus side
+    assert(ivfDf.queryExecution.logical.toString.toLowerCase.contains("nearestcentroid"))
+  }
+
+  test("dedup plans: survivors and banded LSH have no window sort") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"some words $i repeated $i here again and again"))
+      .toDF("doc_id", "text")
+    assert(!plan(Dedup.exactSurvivors(docs)).contains("Window"))
+    assert(!plan(Dedup.minhashPairs(docs, threshold = 0.5)).contains("Window"))
+    assert(!plan(Dedup.simhashPairs(docs)).contains("Window"))
+    assert(!plan(Dedup.jaccardPairs(docs, threshold = 0.5, maxDocFreq = 10)).contains("Window"))
+    // and nothing degraded to a cartesian product
+    assert(!plan(Dedup.minhashPairs(docs, threshold = 0.5)).contains("CartesianProduct"))
+  }
+
+  test("calibration-slice predicate is pushed into the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$dir/documents.parquet").exists()) {
+      val p = plan(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 500).select("doc_id", "text"))
+      assert(p.contains("LessThan(doc_id,500)"), p) // PushedFilters
+      assert(p.contains("ReadSchema") && !p.contains("n_chars"), p) // pruned
+    }
+  }
+
+  test("skew-aware assemble is two aggregates, no window, no sort exchange") {
+    import spark.implicits._
+    val docs = Pipeline.toDocsDF(Pipeline.extract(
+      spark.createDataset((0L until 50L).map(i => graft.io.SyntheticDocs.generate(42, i).raw))))
+    val p = plan(SpanOps.assembleSkewAware(SpanOps.explodeSpans(docs)))
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
