@@ -312,6 +312,10 @@ object Normalize {
       case "md_datauri" => dataUriImages(raw)
       case "md_pages" => pages(pagesIn)
       case "md_docling" => docling(raw, countImagePlaceholders(raw))
+      case "md_plain" =>
+        // already-canonical (or marker-free) markdown: no rewriting needed —
+        // the ingestion path's fallback dialect
+        Normalized(raw, Nil)
       case "md_upstage" =>
         // table form of the upstage payload: `raw` is the flat markdown,
         // pagesIn(i) is page (i+2)'s anchor (its first non-empty element

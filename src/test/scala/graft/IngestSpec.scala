@@ -1,0 +1,72 @@
+package graft
+
+import graft.io.Ingest
+import graft.model.SpanKind
+import graft.pipeline.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-file ingestion: directory of files → RawDoc rows → extraction —
+  * the reference's convert_directory entry point end-to-end.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
+
+  test("detectDialect routes by marker grammar") {
+    assert(Ingest.detectDialect("intro\n\n<!-- PageBreak -->\n\nbody") == "md_azure")
+    assert(Ingest.detectDialect("a\n\n<!-- PageBreak -->\n\n<!-- image -->\n\nb") == "md_docling")
+    assert(Ingest.detectDialect("<!-- Slide number: 2 -->\n\ndeck") == "md_slides")
+    assert(Ingest.detectDialect("page one\n\n{0}------------\n\npage two") == "md_datalab")
+    assert(Ingest.detectDialect("text ![d](data:image/png;base64,QUJD) tail") == "md_datauri")
+    assert(Ingest.detectDialect("# Just markdown\n\nwith paragraphs") == "md_plain")
+  }
+
+  test("toRawDoc routes html/markdown/unsupported") {
+    val html = Ingest.toRawDoc("a/page.html", "<html><body><p>x</p></body></html>".getBytes("UTF-8"))
+    assert(html.payload_kind == "html" && html.mime_type == "text/html")
+    val md = Ingest.toRawDoc("b/notes.md", "# T\n\nbody".getBytes("UTF-8"))
+    assert(md.payload_kind == "md_plain" && md.mime_type == "text/markdown")
+    val pdf = Ingest.toRawDoc("c/file.pdf", Array[Byte](0x25, 0x50, 0x44, 0x46))
+    assert(pdf.payload_kind == "unsupported:application/pdf")
+  }
+
+  test("directory of real files → extraction, failures in the lineage channel") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest")
+    def write(rel: String, content: String): Unit = {
+      val p = base.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    write("site/index.html",
+      "<html><head><title>Site</title></head><body><nav><a href='/'>x</a></nav>" +
+        "<article><h1>Hello</h1><p>Real page body with enough text to keep.</p></article></body></html>")
+    write("reports/q1.md", "# Q1 report\n\nRevenue paragraph here.\n\n<!-- PageBreak -->\n\nPage two text.")
+    write("reports/deck.md", "<!-- Slide number: 1 -->\n\nSlide one text.\n\n<!-- Slide number: 2 -->\n\nSlide two.")
+    write("reports/skip.log", "not a document")
+    write("archive/sub/hidden.md", "# excluded\n\nvia exclude pattern")
+    // an unsupported binary format: ingested, then fails in extraction
+    java.nio.file.Files.createDirectories(base.resolve("bin"))
+    java.nio.file.Files.write(base.resolve("bin/scan.pdf"), Array[Byte](0x25, 0x50, 0x44, 0x46, 0x2d))
+
+    val raw = Ingest.fromDirectory(spark, base.toString, pattern = "**/*",
+      exclude = Seq("archive/**"))
+    val out = Pipeline.extract(raw).collect().map(e => e.doc_id -> e).toMap
+
+    assert(out.keySet == Set("site/index.html", "reports/q1.md", "reports/deck.md", "bin/scan.pdf"))
+    // HTML path: boilerplate stripped, title captured into the assembly
+    val site = out("site/index.html")
+    assert(site.failure == "" && site.title == "Site")
+    assert(site.spans.exists(_.text == "# Hello"))
+    assert(!site.spans.exists(_.text.contains("nav")))
+    // azure-dialect markdown: PageBreak renumbered with the leading page-1
+    val q1 = out("reports/q1.md")
+    assert(q1.failure == "" && q1.page_count == 2)
+    assert(q1.spans.head.kind == SpanKind.PageBreak)
+    // slides dialect
+    assert(out("reports/deck.md").spans.count(_.kind == SpanKind.PageBreak) == 2)
+    // unsupported binary surfaces as a failure row, not a crash
+    val pdf = out("bin/scan.pdf")
+    assert(pdf.failure.contains("unsupported"), pdf.failure)
+  }
+}
