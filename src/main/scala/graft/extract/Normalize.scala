@@ -128,6 +128,26 @@ object Normalize {
     if (dashes >= 1 && i == n) page else -1
   }
 
+  /** Does `content` contain at least one REWRITABLE datalab pagination
+    * marker (blank-delimited `{N}----` line, the same rule
+    * [[rewriteDatalabBreaks]] applies)? The ingestion dialect detector uses
+    * this so near-miss content is not misrouted into the datalab passes.
+    */
+  def hasDatalabMarkers(content: String): Boolean = {
+    if (content.indexOf('{') < 0) return false
+    val lines = content.split("\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      if (datalabMarkerPage(lines(i)) >= 0) {
+        val prevBlank = i == 0 || lines(i - 1).trim.isEmpty
+        val nextBlank = i == lines.length - 1 || lines(i + 1).trim.isEmpty
+        if (prevBlank && nextBlank) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Rewrite `{N}----` marker lines (blank-line-delimited or at the edges)
     * into canonical page breaks — line-scanner equivalent of the reference's
     * regex, but it also handles consecutive markers (empty pages) and a

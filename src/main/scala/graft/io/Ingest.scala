@@ -3,50 +3,56 @@ package graft.io
 import graft.model.RawDoc
 import graft.ops.DocOps
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Real-file ingestion: the reference's primary entry point is a directory
   * of files (`convert_directory`, converters/base.py:343-413); this is the
-  * Spark-native equivalent — a `binaryFile` scan routed through the same
-  * glob/exclude/max_depth/MIME filter chain ([[DocOps.directoryFilter]]) and
-  * lifted into `RawDoc` rows the extraction pipeline consumes:
+  * Spark-native equivalent:
   *
   * {{{
   * val raw  = Ingest.fromDirectory(spark, "/data/corpus") // default glob
   * val docs = Pipeline.toDocs(Pipeline.extract(raw))
   * }}}
   *
+  * The glob/exclude/max_depth/MIME filter chain is applied AT LISTING TIME
+  * on the driver (FileSystem metadata only — the same listing a FileIndex
+  * performs), so excluded and unsupported files are never read: the
+  * `binaryFile` scan loads exactly the selected paths. Works for any Hadoop
+  * filesystem scheme (the base is made fully qualified before relativizing,
+  * so doc ids are paths relative to `dir` — the reference keys results by
+  * relative path, base.py:396-398).
+  *
   * Payload-kind routing mirrors the converter-registry dispatch
   * (registry.py:58-132): HTML → the boilerplate-strip stage; markdown/plain
-  * text → dialect detection by marker grammar (PageBreak / {N}---- / Slide
-  * number / data-URI images / plain); any other MIME → an `unsupported`
-  * kind whose extraction fails into the lineage failure channel (the
-  * reference's unsupported-MIME error taxonomy). Binary formats needing
-  * byte-level parsers (PDF, Office) are the documented no-PDF-byte-parsing
-  * limitation — on ingestion they surface as failure rows, never crashes.
+  * text → dialect detection by marker grammar; any other MIME → an
+  * `unsupported` kind whose extraction fails into the lineage failure
+  * channel (the reference's unsupported-MIME error taxonomy). Binary
+  * formats needing byte-level parsers (PDF, Office) are the documented
+  * no-PDF-byte-parsing limitation — on ingestion they surface as failure
+  * rows, never crashes.
+  *
+  * Note: files/directories whose names start with `_` or `.` are Spark
+  * metadata conventions; they are listed here (parity with pathlib globs)
+  * but the underlying reader may still treat `_spark_metadata` specially.
   */
 object Ingest {
 
   /** Detect the provider dialect of a markdown/plain-text payload from its
-    * marker grammar — first match wins, `md_plain` otherwise.
+    * marker grammar — most specific match wins, `md_plain` otherwise.
+    * The datalab check reuses the normalizer's own blank-delimited marker
+    * rule so near-miss content (an inline `{3}----` line with non-blank
+    * neighbors) is NOT misrouted into the datalab image-rename passes.
     */
   def detectDialect(text: String): String =
-    if (text.contains("<!-- PageBreak -->")) {
-      // azure and docling share the PageBreak marker; docling additionally
-      // uses <!-- image --> placeholders
-      if (text.contains("<!-- image -->")) "md_docling" else "md_azure"
-    }
+    if (text.contains("<!-- image -->")) "md_docling" // placeholder is docling-specific
+    else if (text.contains("<!-- PageBreak -->")) "md_azure"
     else if (text.contains("<!-- Slide number:")) "md_slides"
-    else if (DatalabMarker.findFirstIn(text).isDefined) "md_datalab"
+    else if (graft.extract.Normalize.hasDatalabMarkers(text)) "md_datalab"
     else if (text.contains("](data:image/")) "md_datauri"
     else "md_plain"
 
-  private val DatalabMarker = """(?m)^\s*\{\d+\}\s*-+\s*$""".r
-
-  /** Scan `dir` with the directory-filter chain and lift the survivors into
-    * RawDoc rows. Text payloads are UTF-8 decoded; the `doc_id` is the
-    * path relative to `dir` (the reference keys results by relative path,
-    * base.py:396-398).
+  /** List `dir` (recursively) on the driver, apply the reference's filter
+    * chain (include glob → exclude globs → max_depth → MIME-supported) to
+    * the RELATIVE paths, and load only the survivors as RawDoc rows.
     */
   def fromDirectory(
       spark: SparkSession,
@@ -55,23 +61,51 @@ object Ingest {
       exclude: Seq[String] = Nil,
       maxDepth: Int = 0): Dataset[RawDoc] = {
     import spark.implicits._
-    val base = if (dir.endsWith("/")) dir else dir + "/"
-    val scanned = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(dir)
-      .withColumn("rel_path",
-        regexp_replace(col("path"), "^file:" + java.util.regex.Pattern.quote(base), ""))
-    DocOps.directoryFilter(scanned, pathCol = "rel_path",
-      pattern = pattern, exclude = exclude, maxDepth = maxDepth)
-      .select(col("rel_path"), col("content"))
+    val conf = spark.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = basePath.getFileSystem(conf)
+    val qualifiedBase = fs.makeQualified(basePath).toString.stripSuffix("/")
+
+    val includeRe = DocOps.globToRegex(pattern).r
+    val excludeRes = exclude.map(g => DocOps.globToRegex(g).r)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (full, rel)
+    val it = fs.listFiles(basePath, /* recursive = */ true)
+    while (it.hasNext) {
+      val status = it.next()
+      val full = status.getPath.toString
+      if (full.startsWith(qualifiedBase + "/")) {
+        val rel = full.substring(qualifiedBase.length + 1)
+        val depthOk = maxDepth <= 0 || rel.count(_ == '/') <= maxDepth
+        val matches = includeRe.pattern.matcher(rel).matches() &&
+          !excludeRes.exists(_.pattern.matcher(rel).matches()) && depthOk &&
+          DocOps.SupportedMimeTypes.contains(mimeOf(rel))
+        if (matches) selected += ((full, rel))
+      }
+    }
+    if (selected.isEmpty) return spark.emptyDataset[RawDoc]
+
+    val relByFull = selected.toMap
+    spark.read.format("binaryFile")
+      .load(selected.map(_._1).toSeq: _*)
+      .select("path", "content")
       .as[(String, Array[Byte])]
-      .map { case (relPath, bytes) => toRawDoc(relPath, bytes) }
+      .map { case (full, bytes) => toRawDoc(relByFull.getOrElse(full, full), bytes) }
   }
+
+  /** Extension → MIME with EXACTLY guessMime's rule (`\.(\w+)$` on the
+    * path): "v1.2/README" and "notes.md." both fall to octet-stream, so
+    * this routing can never disagree with the filter chain that gates it.
+    */
+  def mimeOf(relPath: String): String =
+    ExtRe.findFirstMatchIn(relPath)
+      .flatMap(m => DocOps.ExtToMime.get(m.group(1).toLowerCase))
+      .getOrElse("application/octet-stream")
+
+  private val ExtRe = """\.(\w+)$""".r
 
   /** One file → one RawDoc (pure; also the unit-test surface). */
   def toRawDoc(relPath: String, bytes: Array[Byte]): RawDoc = {
-    val ext = relPath.split('.').lastOption.map(_.toLowerCase).getOrElse("")
-    val mime = DocOps.ExtToMime.getOrElse(ext, "application/octet-stream")
+    val mime = mimeOf(relPath)
     mime match {
       case "text/html" =>
         RawDoc(relPath, "html", mime, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil)

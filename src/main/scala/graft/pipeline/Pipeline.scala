@@ -89,8 +89,18 @@ object Pipeline {
           else Array.emptyByteArray
         MediaItem(img.filename, img.mime_type, bytes)
       }
-      val sourcePath = s"synthetic://${r.payload_kind}/${r.doc_id}.${extOf(r.mime_type)}"
-      val stem = r.doc_id // filename stem of sourcePath (base.py:285)
+      // ingested docs carry their RELATIVE FILE PATH as doc_id (Ingest keys
+      // by relative path like the reference, base.py:396-398): the path IS
+      // the source_path and the title fallback is its filename stem
+      // (base.py:285). Synthetic/table ids (no '/' or '.') keep the
+      // synthetic:// provenance.
+      val isPathId = r.doc_id.indexOf('/') >= 0 || r.doc_id.indexOf('.') >= 0
+      val sourcePath =
+        if (isPathId) r.doc_id
+        else s"synthetic://${r.payload_kind}/${r.doc_id}.${extOf(r.mime_type)}"
+      val name = r.doc_id.substring(r.doc_id.lastIndexOf('/') + 1)
+      val stem = // filename stem of sourcePath (base.py:285)
+        if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
       val pageCount = Markdown.pageCount(spans)
       val metadata: Map[String, String] =
         KindToProvider.get(r.payload_kind)

@@ -15,19 +15,37 @@ class IngestSpec extends AnyFunSuite {
   test("detectDialect routes by marker grammar") {
     assert(Ingest.detectDialect("intro\n\n<!-- PageBreak -->\n\nbody") == "md_azure")
     assert(Ingest.detectDialect("a\n\n<!-- PageBreak -->\n\n<!-- image -->\n\nb") == "md_docling")
+    // a single-page docling export has image placeholders but no PageBreak
+    assert(Ingest.detectDialect("Intro text\n\n<!-- image -->\n\nMore text") == "md_docling")
     assert(Ingest.detectDialect("<!-- Slide number: 2 -->\n\ndeck") == "md_slides")
     assert(Ingest.detectDialect("page one\n\n{0}------------\n\npage two") == "md_datalab")
+    // near-miss: a {N}---- line WITHOUT blank neighbors is not a datalab
+    // marker (the normalizer would refuse to rewrite it) → stays plain and
+    // its image refs are NOT rewritten into fabricated sidecars
+    assert(Ingest.detectDialect("inventory:\n{3}----\nsee ![d](assets/d.png)") == "md_plain")
     assert(Ingest.detectDialect("text ![d](data:image/png;base64,QUJD) tail") == "md_datauri")
     assert(Ingest.detectDialect("# Just markdown\n\nwith paragraphs") == "md_plain")
   }
 
-  test("toRawDoc routes html/markdown/unsupported") {
+  test("toRawDoc routes html/markdown/unsupported; MIME rule matches guessMime") {
     val html = Ingest.toRawDoc("a/page.html", "<html><body><p>x</p></body></html>".getBytes("UTF-8"))
     assert(html.payload_kind == "html" && html.mime_type == "text/html")
     val md = Ingest.toRawDoc("b/notes.md", "# T\n\nbody".getBytes("UTF-8"))
     assert(md.payload_kind == "md_plain" && md.mime_type == "text/markdown")
     val pdf = Ingest.toRawDoc("c/file.pdf", Array[Byte](0x25, 0x50, 0x44, 0x46))
     assert(pdf.payload_kind == "unsupported:application/pdf")
+    // guessMime parity on the edge shapes
+    assert(Ingest.mimeOf("notes.md.") == "application/octet-stream")
+    assert(Ingest.mimeOf("v1.2/README") == "application/octet-stream")
+    assert(Ingest.mimeOf("A/B.HTML") == "text/html")
+  }
+
+  test("ingested docs assemble title=stem and source_path=relative path") {
+    val out = Pipeline.extractOne(Ingest.toRawDoc("reports/q1.md",
+      "# Q1\n\nbody text".getBytes("UTF-8")))
+    assert(out.failure == "")
+    assert(out.title == "q1")                 // filename stem (base.py:285)
+    assert(out.source_path == "reports/q1.md") // relative path, no synthetic://
   }
 
   test("directory of real files → extraction, failures in the lineage channel") {

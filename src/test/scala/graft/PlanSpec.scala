@@ -52,13 +52,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("calibration-slice predicate is pushed into the parquet scan") {
-    val dir = "/root/testdata/sf0.001"
-    if (new java.io.File(s"$dir/documents.parquet").exists()) {
-      val p = plan(spark.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < 500).select("doc_id", "text"))
-      assert(p.contains("LessThan(doc_id,500)"), p) // PushedFilters
-      assert(p.contains("ReadSchema") && !p.contains("n_chars"), p) // pruned
-    }
+    // self-contained fixture: write a parquet table, check pushdown on it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString + "/documents"
+    (0L until 100L).map(i => (i, s"text $i", i * 3)).toDF("doc_id", "text", "n_chars")
+      .write.parquet(dir)
+    val p = plan(spark.read.parquet(dir)
+      .filter(col("doc_id") < 50).select("doc_id", "text"))
+    assert(p.contains("LessThan(doc_id,50)"), p) // PushedFilters
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"), p) // pruned
   }
 
   test("skew-aware assemble is two aggregates, no window, no sort exchange") {
