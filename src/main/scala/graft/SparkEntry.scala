@@ -241,6 +241,22 @@ object SparkEntry {
           .withColumn("page_count", (floor(col("n_chars") / 500) + 1).cast("int")),
         col("provider"), col("page_count"))
         .select("doc_id", "provider", "page_count", "cost_usd")),
+    "q_ingest" -> ((s, dir) => {
+      // real-file ingestion end-to-end: materialize the documents table as
+      // .md files (driver-side fixture build — local-mode test scaffolding,
+      // not a data path), then list → filter → load → route via Ingest
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().foreach { case (id, text) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(base, f"d$id%06d.md"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.io.Ingest.fromDirectory(s, base, pattern = "*.md").toDF()
+        .select(col("doc_id").as("rel_path"), col("payload_kind"),
+          length(col("raw")).as("n_chars"))
+    }),
     "q_glob_filter" -> ((s, dir) => {
       // the convert_directory filter chain (glob + exclude + max_depth +
       // MIME-supported) over synthesized paths: even docs live at depth 2,
@@ -553,6 +569,11 @@ object SparkEntry {
         |          WHEN 'azure' THEN 0.00958 WHEN 'upstage' THEN 0.01
         |          WHEN 'llamaparse' THEN 0.0045 WHEN 'datalab' THEN 0.0015 END
         |        * CAST(floor(n_chars / 500) + 1 AS INT), 6) AS cost_usd
+        |FROM documents""".stripMargin,
+    "q_ingest" ->
+      """SELECT printf('d%06d.md', doc_id) AS rel_path,
+        |  'md_plain' AS payload_kind,
+        |  CAST(length(text) AS INT) AS n_chars
         |FROM documents""".stripMargin,
     "q_glob_filter" ->
       // selection logic reproduced arithmetically (no regex dependence):
