@@ -244,10 +244,14 @@ object SparkEntry {
     "q_ingest" -> ((s, dir) => {
       // real-file ingestion end-to-end: materialize the documents table as
       // .md files (driver-side fixture build — local-mode test scaffolding,
-      // not a data path), then list → filter → load → route via Ingest
+      // not a data path), then list → filter → load → route via Ingest.
+      // Fixed 500-file calibration slice: per-file open/stat overhead is the
+      // cost driver, so the fixture stays constant across SFs like the
+      // pair ops.
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
       tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 500)
         .as[(Long, String)].collect().foreach { case (id, text) =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(base, f"d$id%06d.md"),
@@ -574,7 +578,7 @@ object SparkEntry {
       """SELECT printf('d%06d.md', doc_id) AS rel_path,
         |  'md_plain' AS payload_kind,
         |  CAST(length(text) AS INT) AS n_chars
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 500""".stripMargin,
     "q_glob_filter" ->
       // selection logic reproduced arithmetically (no regex dependence):
       // include data/**/f* matches all; exclude **/sub/** kills odd ids;
