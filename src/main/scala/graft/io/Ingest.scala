@@ -44,7 +44,8 @@ object Ingest {
     */
   def detectDialect(text: String): String =
     if (text.contains("<!-- image -->")) "md_docling" // placeholder is docling-specific
-    else if (text.contains("<!-- PageBreak -->")) "md_azure"
+    else if (text.contains("<!-- PageBreak -->") || text.contains("<figure>"))
+      "md_azure" // PageBreak markers or <figure> blocks (azure_provider/utils.py:22-56)
     else if (text.contains("<!-- Slide number:")) "md_slides"
     else if (graft.extract.Normalize.hasDatalabMarkers(text)) "md_datalab"
     else if (text.contains("](data:image/")) "md_datauri"

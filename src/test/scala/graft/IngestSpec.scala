@@ -48,6 +48,28 @@ class IngestSpec extends AnyFunSuite {
     assert(out.source_path == "reports/q1.md") // relative path, no synthetic://
   }
 
+  test("detected dialects reproduce the generator's expected spans (raw-markdown kinds)") {
+    // the ingestion path sees only file CONTENT: for every generator doc
+    // whose payload is a raw markdown string, routing by detectDialect must
+    // extract the same spans as routing by the true kind. Inherent
+    // ambiguity: a 1-page no-image docling export carries no markers at all
+    // and is indistinguishable from plain markdown — there the only
+    // acceptable difference is the missing leading page-1 marker.
+    val mdKinds = Set("md_azure", "md_datalab", "md_slides", "md_docling", "md_datauri")
+    val gens = (0L until 800L).map(i => graft.io.SyntheticDocs.generate(seed = 42, i))
+      .filter(g => mdKinds(g.raw.payload_kind))
+    assert(gens.map(_.raw.payload_kind).toSet == mdKinds) // all kinds sampled
+    gens.foreach { g =>
+      val detected = Ingest.detectDialect(g.raw.raw)
+      val spans = graft.extract.Normalize.dialect(detected, g.raw.raw, Nil).spans
+      val ok = spans == g.expected ||
+        (g.expected.headOption.exists(_.kind == SpanKind.PageBreak) &&
+          g.expected.tail.map(s => (s.kind, s.text, s.media_ref)) ==
+            spans.map(s => (s.kind, s.text, s.media_ref)))
+      assert(ok, s"${g.raw.doc_id} (${g.raw.payload_kind} detected as $detected)")
+    }
+  }
+
   test("directory of real files → extraction, failures in the lineage channel") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ingest")
