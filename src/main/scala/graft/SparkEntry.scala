@@ -249,7 +249,10 @@ object SparkEntry {
       // cost driver, so the fixture stays constant across SFs like the
       // pair ops.
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      // deterministic fixture dir keyed by the sf dir: reused (overwritten)
+      // across verify/bench invocations instead of accumulating temp dirs
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_fixture_${math.abs(dir.hashCode.toLong)}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 500)
         .as[(Long, String)].collect().foreach { case (id, text) =>
