@@ -30,12 +30,12 @@ object Bench {
 
   /** Materialize the synthetic corpus once; reused across runs and rounds.
     * The version suffix invalidates the cache whenever the generator's
-    * output changes (v2: md_docling dialect added to the kind mix).
+    * output changes (v2: md_docling dialect; v3: RawDoc.source_path column).
     */
   private def corpusPath(nDocs: Long): String = {
     val tmp = sys.props("java.io.tmpdir")
     val prefix = "graft_bench_corpus_"
-    val version = "v2_"
+    val version = "v3_" // v3: RawDoc gained the source_path provenance column
     // superseded corpus versions are multi-hundred-MB parquet trees: sweep
     // any graft_bench_corpus_* dir that is not the current version
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)

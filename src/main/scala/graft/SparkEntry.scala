@@ -249,10 +249,18 @@ object SparkEntry {
       // cost driver, so the fixture stays constant across SFs like the
       // pair ops.
       import s.implicits._
-      // deterministic fixture dir keyed by the sf dir: reused (overwritten)
-      // across verify/bench invocations instead of accumulating temp dirs
+      // deterministic fixture dir keyed by the sf dir: reused across
+      // verify/bench invocations instead of accumulating temp dirs, and
+      // CLEANED before each build so stale files from older slices/naming
+      // can never be ingested
       val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_fixture_${math.abs(dir.hashCode.toLong)}"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val baseP = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.exists(baseP)) {
+        val files = java.nio.file.Files.list(baseP)
+        try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+      }
+      java.nio.file.Files.createDirectories(baseP)
       tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 500)
         .as[(Long, String)].collect().foreach { case (id, text) =>

@@ -128,24 +128,27 @@ object Normalize {
     if (dashes >= 1 && i == n) page else -1
   }
 
-  /** Does `content` contain at least one REWRITABLE datalab pagination
-    * marker (blank-delimited `{N}----` line, the same rule
-    * [[rewriteDatalabBreaks]] applies)? The ingestion dialect detector uses
-    * this so near-miss content is not misrouted into the datalab passes.
+  /** Page index of a REWRITABLE datalab marker at `lines(i)` (the marker
+    * line AND blank-delimited), or -1 — the ONE predicate shared by
+    * detection ([[hasDatalabMarkers]]) and rewriting
+    * ([[rewriteDatalabBreaks]]) so the two can never drift.
+    */
+  private def rewritableMarkerAt(lines: Array[String], i: Int): Int = {
+    val page = datalabMarkerPage(lines(i))
+    if (page < 0) return -1
+    val prevBlank = i == 0 || lines(i - 1).trim.isEmpty
+    val nextBlank = i == lines.length - 1 || lines(i + 1).trim.isEmpty
+    if (prevBlank && nextBlank) page else -1
+  }
+
+  /** Does `content` contain at least one rewritable datalab pagination
+    * marker? The ingestion dialect detector uses this so near-miss content
+    * is not misrouted into the datalab passes.
     */
   def hasDatalabMarkers(content: String): Boolean = {
     if (content.indexOf('{') < 0) return false
     val lines = content.split("\n", -1)
-    var i = 0
-    while (i < lines.length) {
-      if (datalabMarkerPage(lines(i)) >= 0) {
-        val prevBlank = i == 0 || lines(i - 1).trim.isEmpty
-        val nextBlank = i == lines.length - 1 || lines(i + 1).trim.isEmpty
-        if (prevBlank && nextBlank) return true
-      }
-      i += 1
-    }
-    false
+    lines.indices.exists(i => rewritableMarkerAt(lines, i) >= 0)
   }
 
   /** Rewrite `{N}----` marker lines (blank-line-delimited or at the edges)
@@ -160,10 +163,8 @@ object Normalize {
     var i = 0
     while (i < lines.length) {
       val line = lines(i)
-      val page = datalabMarkerPage(line)
-      val prevBlank = i == 0 || lines(i - 1).trim.isEmpty
-      val nextBlank = i == lines.length - 1 || lines(i + 1).trim.isEmpty
-      if (page >= 0 && prevBlank && nextBlank)
+      val page = rewritableMarkerAt(lines, i)
+      if (page >= 0)
         out.append(Markdown.createPageBreak(page + 1, newlineSeparators = 2))
       else out.append(line)
       if (i < lines.length - 1) out.append('\n')

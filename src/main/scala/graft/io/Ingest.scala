@@ -44,8 +44,11 @@ object Ingest {
     */
   def detectDialect(text: String): String =
     if (text.contains("<!-- image -->")) "md_docling" // placeholder is docling-specific
-    else if (text.contains("<!-- PageBreak -->") || text.contains("<figure>"))
-      "md_azure" // PageBreak markers or <figure> blocks (azure_provider/utils.py:22-56)
+    else if (text.contains("<!-- PageBreak -->")) "md_azure"
+    // bare <figure> without PageBreak markers is NOT azure evidence: plain
+    // markdown legitimately embeds HTML figure blocks, and routing them to
+    // azure would destructively replace the block with a phantom image ref.
+    // md_plain preserves such content verbatim (the safe ambiguity).
     else if (text.contains("<!-- Slide number:")) "md_slides"
     else if (graft.extract.Normalize.hasDatalabMarkers(text)) "md_datalab"
     else if (text.contains("](data:image/")) "md_datauri"
@@ -69,29 +72,54 @@ object Ingest {
 
     val includeRe = DocOps.globToRegex(pattern).r
     val excludeRes = exclude.map(g => DocOps.globToRegex(g).r)
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (full, rel)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[String] // full paths
+    val prefix = qualifiedBase + "/"
+    // a single-file base is a one-element listing keyed by its file name
+    val baseIsFile = fs.getFileStatus(basePath).isFile
     val it = fs.listFiles(basePath, /* recursive = */ true)
     while (it.hasNext) {
       val status = it.next()
       val full = status.getPath.toString
-      if (full.startsWith(qualifiedBase + "/")) {
-        val rel = full.substring(qualifiedBase.length + 1)
+      val rel =
+        if (baseIsFile && full == qualifiedBase)
+          qualifiedBase.substring(qualifiedBase.lastIndexOf('/') + 1)
+        else if (full.startsWith(prefix)) full.substring(prefix.length)
+        else ""
+      if (rel.nonEmpty) {
         val depthOk = maxDepth <= 0 || rel.count(_ == '/') <= maxDepth
         val matches = includeRe.pattern.matcher(rel).matches() &&
           !excludeRes.exists(_.pattern.matcher(rel).matches()) && depthOk &&
           DocOps.SupportedMimeTypes.contains(mimeOf(rel))
-        if (matches) selected += ((full, rel))
+        if (matches) selected += full
       }
     }
     if (selected.isEmpty) return spark.emptyDataset[RawDoc]
 
-    val relByFull = selected.toMap
+    // explicit-path load: escape Hadoop glob metacharacters (a literal
+    // 'report[1].md' must not be glob-expanded into PATH_NOT_FOUND) and
+    // disable partition inference (key=value dir layouts must not sprout
+    // partition columns or conflict)
+    val isFile = baseIsFile
     spark.read.format("binaryFile")
-      .load(selected.map(_._1).toSeq: _*)
+      .option("recursiveFileLookup", "true")
+      .load(selected.toSeq.map(escapeHadoopGlob): _*)
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .map { case (full, bytes) => toRawDoc(relByFull.getOrElse(full, full), bytes) }
+      .map { case (full, bytes) =>
+        val rel =
+          if (isFile) full.substring(full.lastIndexOf('/') + 1)
+          else if (full.startsWith(prefix)) full.substring(prefix.length)
+          else throw new IllegalStateException(
+            s"scanned path '$full' is not under the qualified base '$prefix'")
+        toRawDoc(rel, bytes)
+      }
   }
+
+  /** Backslash-escape Hadoop glob metacharacters so an explicit path is
+    * taken literally by the DataSource path resolution.
+    */
+  private def escapeHadoopGlob(path: String): String =
+    path.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
 
   /** Extension → MIME with EXACTLY guessMime's rule (`\.(\w+)$` on the
     * path): "v1.2/README" and "notes.md." both fall to octet-stream, so
@@ -109,15 +137,17 @@ object Ingest {
     val mime = mimeOf(relPath)
     mime match {
       case "text/html" =>
-        RawDoc(relPath, "html", mime, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil)
+        RawDoc(relPath, "html", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "text/markdown" | "text/plain" | "text/x-rst" | "text/x-org" =>
         val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        RawDoc(relPath, detectDialect(text), mime, text, Nil, Nil)
+        RawDoc(relPath, detectDialect(text), mime, text, Nil, Nil, source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on
         // unsupported MIME, utils.py:49-77 — here it is an error ROW)
-        RawDoc(relPath, s"unsupported:$other", other, "", Nil, Nil)
+        RawDoc(relPath, s"unsupported:$other", other, "", Nil, Nil, source_path = relPath)
     }
   }
 }

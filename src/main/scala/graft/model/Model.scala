@@ -116,7 +116,8 @@ final case class RawDoc(
     mime_type: String,
     raw: String,
     pages: Seq[String],
-    elements: Seq[PdfElement])
+    elements: Seq[PdfElement],
+    source_path: String = "") // real-file provenance (Ingest); "" = table-borne
 
 /** A positioned element on a PDF page (input to the layout stage). Coordinates
   * are points, origin top-left.

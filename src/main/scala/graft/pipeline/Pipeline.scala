@@ -89,18 +89,19 @@ object Pipeline {
           else Array.emptyByteArray
         MediaItem(img.filename, img.mime_type, bytes)
       }
-      // ingested docs carry their RELATIVE FILE PATH as doc_id (Ingest keys
-      // by relative path like the reference, base.py:396-398): the path IS
-      // the source_path and the title fallback is its filename stem
-      // (base.py:285). Synthetic/table ids (no '/' or '.') keep the
-      // synthetic:// provenance.
-      val isPathId = r.doc_id.indexOf('/') >= 0 || r.doc_id.indexOf('.') >= 0
+      // ingested docs carry EXPLICIT real-file provenance (RawDoc.source_path
+      // set by Ingest, keyed by relative path like the reference,
+      // base.py:396-398); table-borne docs get the synthetic:// provenance.
+      // Title fallback = source filename stem (base.py:285).
       val sourcePath =
-        if (isPathId) r.doc_id
+        if (r.source_path.nonEmpty) r.source_path
         else s"synthetic://${r.payload_kind}/${r.doc_id}.${extOf(r.mime_type)}"
-      val name = r.doc_id.substring(r.doc_id.lastIndexOf('/') + 1)
-      val stem = // filename stem of sourcePath (base.py:285)
-        if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
+      val stem =
+        if (r.source_path.isEmpty) r.doc_id
+        else {
+          val name = r.source_path.substring(r.source_path.lastIndexOf('/') + 1)
+          if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
+        }
       val pageCount = Markdown.pageCount(spans)
       val metadata: Map[String, String] =
         KindToProvider.get(r.payload_kind)
