@@ -40,7 +40,7 @@ object Bench {
     // any graft_bench_corpus_* dir that is not the current version
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(prefix + version))
-      .foreach(deleteRecursively)
+      .foreach(graft.io.TableIO.deleteRecursively)
     val path = s"$tmp/$prefix$version$nDocs"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val s = mkSession(32)
@@ -50,11 +50,6 @@ object Bench {
       s.stop()
     }
     path
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
   }
 
   /** One extract+assemble pass from parquet; returns (docs, seconds). */

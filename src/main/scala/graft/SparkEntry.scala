@@ -341,8 +341,13 @@ object SparkEntry {
       tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)].map { case (id, text) =>
           val firstLine = text.split("\n", 2)(0)
+          // ASCII-only uppercase (a 1:1 char map): Java's full-case
+          // toUpperCase grows 'ß'→"SS" while SQL upper() maps 1:1, so only
+          // the locale-free ASCII subset is portable across engines
+          val corrected40 = firstLine.take(40).map(c =>
+            if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
           val (corrected, _) = DocOps.applyCorrections(text, Seq(
-            DocOps.LineCorrection(1, firstLine.take(40).toUpperCase(java.util.Locale.ROOT)),
+            DocOps.LineCorrection(1, corrected40),
             DocOps.LineCorrection(1, "ignored duplicate"),
             DocOps.LineCorrection(99, "out of range")))
           (id, corrected)
@@ -626,7 +631,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)] AS shs
         |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS ws
+        |          string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+') AS ws
         |        FROM documents WHERE doc_id < 50)
         |), hashed AS (
         |  SELECT doc_id, [${h60Sql("s")} FOR s IN shs] AS hs FROM sh
@@ -644,7 +649,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shs
         |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+') AS ws
+        |          string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+') AS ws
         |        FROM documents WHERE doc_id < 500)
         |), hashed AS (
         |  SELECT doc_id, [${h60Sql("s")} FOR s IN shs] AS hs
@@ -673,7 +678,7 @@ object SparkEntry {
         |HAVING round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) >= 0.15""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH norm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')) AS s
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS s
         |  FROM documents WHERE doc_id < 500
         |), toks AS (
         |  SELECT doc_id, string_split_regex(s, '\\s+')[1:128] AS tks FROM norm WHERE length(s) > 0
@@ -795,10 +800,12 @@ object SparkEntry {
         |  CAST(length(substring(text, CAST(i*160 + 1 AS INT), 200)) + 2 AS INT) AS chunk_len
         |FROM c""".stripMargin,
     "q_corrections" ->
-      // line 1 replaced by its own uppercased 40-char prefix; the rest of a
+      // line 1 replaced by its ASCII-uppercased 40-char prefix (translate =
+      // the same 1:1 a-z map both engines compute); the rest of a
       // multi-line document survives verbatim (exact for ANY text shape)
       """SELECT doc_id,
-        |  upper(substring(split_part(text, chr(10), 1), 1, 40)) ||
+        |  translate(substring(split_part(text, chr(10), 1), 1, 40),
+        |            'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') ||
         |  CASE WHEN strpos(text, chr(10)) > 0
         |       THEN substring(text, strpos(text, chr(10))) ELSE '' END AS corrected
         |FROM documents""".stripMargin,

@@ -27,6 +27,12 @@ object HtmlExtract {
 
   private val SkipContent = Set("script", "style", "noscript", "template", "svg", "head")
 
+  /** Tags whose start implicitly closes an open <caption> (HTML5 omitted
+    * end-tag rule: caption ends at the first table section/row).
+    */
+  private val CaptionClosers = Set(
+    "tr", "td", "th", "thead", "tbody", "tfoot", "colgroup", "col", "table")
+
   /** HTML void elements: never pushed onto the open-tag stack (they have no
     * closing tag, so pushing them would corrupt the heading/list context and
     * grow the stack unboundedly on img/br-heavy pages).
@@ -166,6 +172,13 @@ object HtmlExtract {
                 else if (closing && skipDepth > 0) skipDepth -= 1
               } else if (skipDepth == 0) {
                 if (!closing) {
+                  // HTML5 allows omitting </caption>: it closes implicitly
+                  // when a table section/row starts (inline markup inside
+                  // the caption does NOT close it)
+                  if (inCaption && CaptionClosers.contains(name)) {
+                    tableCaption = collapseWs(captionBuf.toString.trim)
+                    inCaption = false
+                  }
                   name match {
                     case "a" => linkDepth += 1
                     case "img" =>
@@ -207,6 +220,10 @@ object HtmlExtract {
                   name match {
                     case "a" => linkDepth = math.max(0, linkDepth - 1)
                     case "table" if tableDepth > 0 =>
+                      if (inCaption) { // unclosed <caption> ends with its table
+                        tableCaption = collapseWs(captionBuf.toString.trim)
+                        inCaption = false
+                      }
                       tableDepth -= 1
                       if (tableDepth == 0) emitTable()
                     case "td" | "th" if tableDepth > 0 =>

@@ -291,23 +291,28 @@ case class PortableHyperplaneBucket(child: Expression, planes: Int)
 }
 
 object PortableHyperplaneBucket {
-  // (plane << 32 | dim) → ±1; tiny (planes × dim entries), shared per JVM
-  private val compCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+  // one cached primitive component MATRIX per (planes, dim): a single map
+  // lookup per ROW, pure double[] reads in the hot loop (a per-element
+  // boxed lookup would allocate planes×dim closures per row)
+  private val matrixCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
 
-  private def component(p: Int, d: Int): Double =
-    compCache.computeIfAbsent((p.toLong << 32) | d.toLong,
-      _ => PortableHash.hyperplaneComponent(p, d)).doubleValue()
+  private def matrix(planes: Int, dim: Int): Array[Array[Double]] =
+    matrixCache.computeIfAbsent((planes.toLong << 32) | dim.toLong, _ =>
+      Array.tabulate(planes, dim)((p, d) => PortableHash.hyperplaneComponent(p, d)))
 
   def compute(v: ArrayData, isFloat: Boolean, planes: Int): Long = {
     val n = v.numElements()
+    val m = matrix(planes, n)
     var bucket = 0L
     var p = 0
     while (p < planes) {
+      val comp = m(p)
       var dot = 0.0
       var d = 0
       while (d < n) {
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-        dot += component(p, d) * x
+        dot += comp(d) * x
         d += 1
       }
       if (dot > 0) bucket |= 1L << p

@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Normalized text (lowercase, punctuation → space) — the codegen'd builtin
-    * prefix shared by all tokenizations.
+  /** Normalized text (lowercase, punctuation → space, whitespace runs
+    * collapsed to single spaces, trimmed) — the codegen'd builtin prefix
+    * shared by all tokenizations. The collapse step matters for exactness:
+    * without it, text whose normalization leaves boundary `\t`/`\n` (which
+    * `trim` does not strip) makes regex `split('\s+')` emit boundary EMPTY
+    * tokens that a byte-level tokenizer never sees — after the collapse all
+    * three tokenizations (SQL split here, SQL split in the DuckDB oracle,
+    * and the native [[graft.functions.Md5ShingleH60]] scanner) agree on
+    * every input. Token/shingle VALUES are unchanged (split on `\s+` is
+    * insensitive to run lengths).
     */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "))
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
 
   /** Normalized word array — shared tokenization for shingles/Jaccard. */
   def words(text: Column): Column = split(normalized(text), "\\s+")
@@ -197,10 +206,14 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inv1 =
-      if (maxDocFreq <= 0) inv0
-      else {
+    val inv =
+      if (maxDocFreq <= 0) {
+        // uncapped: the per-doc size is free (size of the array, no extra
+        // shuffle)
+        sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("shingle"))
+      } else {
+        val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         // shingles are distinct per doc, so count(*) per shingle == df;
         // the hot list is small (ubiquitous shingles) → AQE broadcasts the
         // anti-join when it fits
@@ -208,13 +221,13 @@ object Dedup {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq)
           .select("shingle")
-        inv0.join(hot, Seq("shingle"), "left_anti")
+        val inv1 = inv0.join(hot, Seq("shingle"), "left_anti")
+        // per-doc set size AFTER the cap, so jaccard is exact over the
+        // capped universe (docs whose shingles were all capped drop out:
+        // they cannot contribute a pair)
+        val sizes = inv1.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        inv1.join(sizes, Seq("doc_id"))
       }
-    // per-doc set size AFTER the cap, so jaccard is exact over the capped
-    // universe (docs whose shingles were all capped drop out: they cannot
-    // contribute a pair)
-    val sizes = inv1.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inv = inv1.join(sizes, Seq("doc_id"))
     val l = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val r = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     l.join(r, Seq("shingle"))

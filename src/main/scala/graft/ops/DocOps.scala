@@ -155,6 +155,11 @@ object DocOps {
     * patterns, max directory depth ('/' count), then MIME-supported via
     * [[guessMime]]. Everything is `rlike`/comparison — Catalyst pushes the
     * lot into the scan.
+    *
+    * The path column must hold BASE-RELATIVE paths (depth = separator
+    * count of the value) — the same depth semantics as
+    * [[graft.io.Ingest.fromDirectory]], which relativizes before filtering;
+    * feeding absolute paths here would count their leading components.
     */
   def directoryFilter(
       df: DataFrame,

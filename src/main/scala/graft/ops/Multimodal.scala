@@ -328,8 +328,10 @@ object Multimodal {
     * oracles (which fold CHARACTERS, so non-ASCII must be squashed to '?'
     * on both sides for byte/char equivalence).
     */
+  private val NonAscii = java.util.regex.Pattern.compile("[^ -~]")
+
   def docPayload(id: String, source: String): Array[Byte] =
-    s"$id:${source.replaceAll("[^ -~]", "?")}".getBytes("UTF-8")
+    s"$id:${NonAscii.matcher(source).replaceAll("?")}".getBytes("UTF-8")
 
   /** Which documents-derived media rows a doc carries: every third doc a
     * png (img-0.png), every sixth additionally a jpg (img-1.jpg).

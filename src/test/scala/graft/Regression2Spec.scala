@@ -91,6 +91,22 @@ class Regression2Spec extends AnyFunSuite {
     assert(out.contains("""{"chunk_id":1,"src":"b"}"""))
   }
 
+  test("HtmlExtract: omitted </caption> closes implicitly at the row (HTML5)") {
+    // caption end tag legally omitted: closes at <tr>; inline markup inside
+    // the caption does NOT close it
+    val html = "<body><table><caption>Table <b>1</b> overview" +
+      "<tr><td>a</td><td>b</td></tr></table>" +
+      "<table><tr><td>second</td><td>table</td></tr></table></body>"
+    val texts = graft.extract.HtmlExtract.extract(html).spans.map(_.text)
+    assert(texts.contains("Table 1 overview"), texts)
+    assert(texts.count(_.startsWith("| ")) == 2, texts) // both tables intact
+    // unclosed caption inside an unclosed-at-</table> case
+    val t2 = graft.extract.HtmlExtract.extract(
+      "<body><p>Intro paragraph long enough to keep.</p>" +
+        "<table><caption>Lonely caption here</table></body>").spans.map(_.text)
+    assert(t2.contains("Lonely caption here"), t2)
+  }
+
   test("HtmlExtract: <caption> text surfaces as a block before the table") {
     val html = "<body><p>Intro paragraph long enough to keep.</p>" +
       "<table><caption>Table 1: quarterly results overview</caption>" +
