@@ -36,13 +36,17 @@ object Bench {
     val tmp = sys.props("java.io.tmpdir")
     val prefix = "graft_bench_corpus_"
     val version = "v3_" // v3: RawDoc gained the source_path provenance column
-    // superseded corpus versions are multi-hundred-MB parquet trees: sweep
-    // any graft_bench_corpus_* dir that is not the current version
-    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(prefix + version))
-      .foreach(graft.io.TableIO.deleteRecursively)
     val path = s"$tmp/$prefix$version$nDocs"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // superseded corpus versions are multi-hundred-MB parquet trees: sweep
+      // stale graft_bench_corpus_* dirs, but ONLY when (re)building — and
+      // never dirs touched in the last 6h — so a concurrent bench of another
+      // build can't lose its corpus mid-read
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) &&
+          !f.getName.startsWith(prefix + version) && f.lastModified() < cutoff)
+        .foreach(graft.io.TableIO.deleteRecursively)
       val s = mkSession(32)
       import s.implicits._
       s.range(nDocs).map(i => SyntheticDocs.generate(42L, i).raw)

@@ -112,6 +112,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("session_value"))
     }),
+    "q_events_stream" -> ((s, dir) => {
+      // the SAME tumbling-window aggregation as a Structured Streaming plan
+      // (readStream → watermark → window → memory sink, run to completion):
+      // gives the streaming module a driver-gate correctness row against a
+      // batch SQL oracle. Complete mode: every window is emitted regardless
+      // of the watermark, so the result equals the batch aggregation. The
+      // memory sink collects to the driver — bounded by the distinct
+      // (window, event_type) count, not the event count.
+      val batschema = tbl(s, dir, "events").schema
+      // FileStreamSource needs a directory; the sf tables ship one parquet
+      // FILE each — stage it into a per-process temp dir (tiny, one copy)
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir =
+        if (java.nio.file.Files.isDirectory(src)) src.toString
+        else {
+          val d = java.nio.file.Paths.get(
+            s"${sys.props("java.io.tmpdir")}/graft_events_stream_${s.sparkContext.applicationId}")
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.copy(src, d.resolve("events.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          sys.addShutdownHook(graft.io.TableIO.deleteRecursively(d.toFile))
+          d.toString
+        }
+      val stream = graft.streaming.EventStream.windowedCounts(s, streamDir, batschema)
+      val name = "q_events_stream_sink"
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    }),
     // ------------------------------------------------ text analysis
     "q_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -249,11 +281,14 @@ object SparkEntry {
       // cost driver, so the fixture stays constant across SFs like the
       // pair ops.
       import s.implicits._
-      // deterministic fixture dir keyed by the sf dir: reused across
-      // verify/bench invocations instead of accumulating temp dirs, and
-      // CLEANED before each build so stale files from older slices/naming
-      // can never be ingested
-      val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_fixture_${math.abs(dir.hashCode.toLong)}"
+      // fixture dir keyed by (sf dir, Spark application id): two concurrent
+      // Verify/Bench drivers against the same sf dir each get a private
+      // fixture — no delete-while-scanning race — and it is CLEANED before
+      // each build so stale files from older slices/naming can never be
+      // ingested; per-application dirs are removed on JVM exit
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_fixture_" +
+        s"${math.abs(dir.hashCode.toLong)}_${s.sparkContext.applicationId}"
+      sys.addShutdownHook(graft.io.TableIO.deleteRecursively(new java.io.File(base)))
       val baseP = java.nio.file.Paths.get(base)
       if (java.nio.file.Files.exists(baseP)) {
         val files = java.nio.file.Files.list(baseP)
@@ -297,12 +332,16 @@ object SparkEntry {
       // directory-export sink over the oracle-visible documents table:
       // document.md (real frontmatter from the doc assembly) + image rows
       // with base64 payloads from the media sidecar
+      // doc_id cast: the engine's String doc_id (real ids are relative
+      // paths) vs the oracle's BIGINT from `documents` — the driver's hash
+      // is type-sensitive, so align the projection (query-side only)
       DocOps.exportRows(docsFromDocuments(s, dir, withMedia = true))
-        .select(col("doc_id"), col("filename"), length(col("content")).as("content_len"))),
+        .select(col("doc_id").cast("long").as("doc_id"), col("filename"),
+          length(col("content")).as("content_len"))),
     "q_files_list" -> ((s, dir) => {
       val docs = docsFromDocuments(s, dir, withMedia = true)
       DocOps.filesList(docs)
-        .select(col("doc_id"), size(col("files")).as("n_files"),
+        .select(col("doc_id").cast("long").as("doc_id"), size(col("files")).as("n_files"),
           concat_ws(",", col("files")).as("files_csv"))
     }),
     "q_doc_meta" -> ((s, dir) => {
@@ -320,7 +359,8 @@ object SparkEntry {
           RawDoc(id.toString, kind, mime, text, Nil, Nil)
         }
       Pipeline.toDocsDF(Pipeline.extract(raw))
-        .select(col("doc_id"), col("title"), col("source_path"), col("mime_type"),
+        .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+          col("source_path"), col("mime_type"),
           col("page_count"),
           try_element_at(col("metadata"), lit("conversion_cost_usd")).as("cost_usd"),
           try_element_at(col("metadata"), lit("pages_processed")).as("pages_processed"))
@@ -332,7 +372,8 @@ object SparkEntry {
       docsFromDocuments(s, dir, withMedia = false)
         .flatMap(d => graft.chunk.Chunkers.markdownChunks(d, maxChunkSize = 200, chunkOverlap = 40))
         .toDF()
-        .select(col("doc_id"), col("chunk_index"), length(col("content")).as("chunk_len"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("chunk_index"),
+          length(col("content")).as("chunk_len"))
     }),
     "q_corrections" -> ((s, dir) => {
       // apply_corrections (ai_processor.py:39-58): reverse order, first-wins,
@@ -382,11 +423,13 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.docDerivedMediaTable(tbl(s, dir, "documents"))).toDF()
-        .select("doc_id", "media_ref", "mime_type", "byte_len", "width", "height",
-          "channels", "mean_luma", "phash")),
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"),
+          col("mime_type"), col("byte_len"), col("width"), col("height"),
+          col("channels"), col("mean_luma"), col("phash"))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.docDerivedMediaTable(tbl(s, dir, "documents")))),
+        Multimodal.docDerivedMediaTable(tbl(s, dir, "documents")))
+        .withColumn("doc_id", col("doc_id").cast("long"))),
     "q_media_resize" -> ((s, dir) => {
       // REAL javax.imageio decode → area-average downscale → PNG re-encode
       // over per-doc synthesized PNGs (solid color, deterministic dims);
@@ -408,7 +451,8 @@ object SparkEntry {
           Multimodal.MediaRow(id.toString, "img-0.png", "image/png", bos.toByteArray)
         }
       Multimodal.resizeImages(media, maxDim = 64)
-        .select(col("doc_id"), col("width"), col("height"), col("resized"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("width"),
+          col("height"), col("resized"))
     }),
     "q_media_table" -> ((s, dir) => {
       // the REAL extraction sidecar: (doc_id, media_ref, mime_type, content)
@@ -423,11 +467,72 @@ object SparkEntry {
           sum(length(col("content"))).as("total_bytes"))
     }))
 
-  /** DuckDB-runnable oracles, column-aligned with the Spark results. Queries
-    * without an entry (xxhash64-based sketches, the synthetic span pipeline)
-    * get the driver's rows-only check and are span-verified in ScalaTest.
+  /** Directory holding the generator-truth parquet side tables
+    * ([[graft.io.ExpectedTables]]). `graft.Verify` materializes them per run
+    * and points this property at the result before dumping oracle_sql.json,
+    * so the dumped SQL embeds the real path for the driver's DuckDB session.
+    */
+  def expectedDir: String = sys.props.getOrElse("graft.expected.dir",
+    s"${sys.props("java.io.tmpdir")}/graft_expected_default")
+
+  private def espans = s"'$expectedDir/expected_spans/*.parquet'"
+  private def edocs = s"'$expectedDir/expected_docs/*.parquet'"
+  private def echunks = s"'$expectedDir/expected_chunks/*.parquet'"
+  private def ebounds = s"'$expectedDir/expected_boundaries/*.parquet'"
+
+  /** DuckDB-runnable oracles, column-aligned with the Spark results. The
+    * span-pipeline oracles read the generator-truth side tables (the
+    * relational form of the reference's snapshot compare,
+    * tests/test_output.py:38-49); everything else reads the sf tables.
     */
   def oracleSql: Map[String, String] = Map(
+    // ------------------------------------------------------------------
+    // Span-pipeline oracles over the generator-truth tables
+    // ------------------------------------------------------------------
+    "pipeline_extract" ->
+      s"""SELECT d.doc_id, d.mime_type,
+        |  CAST(greatest(count(*) FILTER (WHERE s.kind = 'page_break'), 1) AS INT) AS page_count,
+        |  CAST(count(*) AS INT) AS n_spans
+        |FROM $espans s JOIN $edocs d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "pipeline_assemble" ->
+      s"""SELECT doc_id, CAST(count(*) AS INT) AS n_spans
+        |FROM $espans GROUP BY 1""".stripMargin,
+    "pipeline_renumber" ->
+      s"""SELECT doc_id, count(*) AS n_pages
+        |FROM $espans WHERE kind = 'page_break' GROUP BY 1""".stripMargin,
+    "pipeline_page_filter" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    greatest(sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY "offset"
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS page_no
+        |  FROM $espans)
+        |SELECT doc_id, count(*) AS n_spans_p12 FROM p
+        |WHERE page_no IN (1, 2) GROUP BY 1""".stripMargin,
+    "pipeline_lineage" ->
+      s"""SELECT count(DISTINCT doc_id) AS docs, count(*) AS spans,
+        |  CAST(0 AS BIGINT) AS failures
+        |FROM $espans""".stripMargin,
+    "pipeline_chunks" ->
+      s"SELECT doc_id, n_chunks, n_media FROM $echunks",
+    "pipeline_chunk_boundaries" ->
+      s"SELECT doc_id, n_chunks, n_boundaries FROM $ebounds",
+    "q_verify_join" ->
+      s"""SELECT TRUE AS matches, count(DISTINCT doc_id) AS n_docs
+        |FROM $espans""".stripMargin,
+    "q_media_table" ->
+      // every generator dialect's sidecar images are image/png; only the
+      // md_datauri docs embed payload bytes (docId || '-image-bytes')
+      s"""WITH img AS (
+        |  SELECT s.doc_id, d.payload_kind
+        |  FROM $espans s JOIN $edocs d USING (doc_id)
+        |  WHERE s.kind = 'image')
+        |SELECT 'image/png' AS mime_type, count(*) AS n_media,
+        |  CAST(count(*) FILTER (WHERE payload_kind = 'md_datauri') AS BIGINT) AS n_with_payload,
+        |  CAST(sum(CASE WHEN payload_kind = 'md_datauri'
+        |                THEN length(doc_id) + 12 ELSE 0 END) AS BIGINT) AS total_bytes
+        |FROM img""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
@@ -469,6 +574,13 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_events_stream" ->
+      // Spark's window() aligns tumbling windows to the unix epoch, so the
+      // bucket start is floor(epoch/300)*300; decimal sum for exactness
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -557,7 +669,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shs
         |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+') AS ws
+        |          string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+') AS ws
         |        FROM documents WHERE doc_id < 500)
         |), inv0 AS (
         |  SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE len(shs) > 0

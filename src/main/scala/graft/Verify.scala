@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the generator-truth side tables and point the oracle SQL
+    // at them BEFORE the dump below: the span-pipeline oracles read these
+    // parquet paths directly in DuckDB (ExpectedTables scaladoc). The dir is
+    // keyed by application id so concurrent Verify runs never race.
+    graft.io.ExpectedTables.sweepStale()
+    val expectedDir =
+      s"${sys.props("java.io.tmpdir")}/graft_expected_${spark.sparkContext.applicationId}"
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * 4
+    graft.io.ExpectedTables.materialize(spark, nDocs, expectedDir)
+    sys.props("graft.expected.dir") = expectedDir
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -13,12 +13,15 @@ object Chunkers {
 
   private val ImageRefRe = """!\[([^\]]*)\]\(([^)]+)\)""".r
   private val HeaderRe = """^(#{1,6})\s+(.+)$""".r
-  private val LineBreakRe = java.util.regex.Pattern.compile("\r\n|\r|\n")
+  private val LineBreakRe = java.util.regex.Pattern.compile(
+    "\\r\\n|[\\n\\r\\x0B\\f\\x1C\\x1D\\x1E\\x85\\u2028\\u2029]")
 
-  /** Python `splitlines()`-compatible split for the common line separators:
-    * the reference chunkers split with `splitlines()`, so externally-supplied
-    * markdown containing `\r\n`/`\r` must chunk identically (internally
-    * rendered markdown only ever emits `\n`).
+  /** Python `splitlines()`-compatible split over the FULL separator set
+    * (`\r\n`, `\n`, `\r`, `\v`, `\f`, FS/GS/RS `\x1c`-`\x1e`, NEL `\x85`,
+    * LS/PS `\u2028`/`\u2029`): the reference chunkers split with
+    * `splitlines()`, so externally-ingested markdown containing form feeds
+    * or Unicode line separators must chunk identically (internally rendered
+    * markdown only ever emits `\n`).
     */
   private def splitLines(text: String): Array[String] = LineBreakRe.split(text, -1)
 

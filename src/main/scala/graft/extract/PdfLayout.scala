@@ -23,7 +23,10 @@ object PdfLayout {
   def layout(elements: Seq[PdfElement]): LaidOut = {
     val spans = ArrayBuffer.empty[Span]
     val images = ArrayBuffer.empty[NormImage]
-    val byPage = elements.groupBy(_.page).toSeq.sortBy(_._1)
+    // info-dictionary rows (info_title/info_author — see pageMetadata) are
+    // metadata only: they contribute no page, no span, no dimensions
+    val byPage = elements.filterNot(_.kind.startsWith("info_"))
+      .groupBy(_.page).toSeq.sortBy(_._1)
     if (byPage.isEmpty) return LaidOut(Nil, Nil)
 
     byPage.foreach { case (page, elems) =>
@@ -106,13 +109,20 @@ object PdfLayout {
   final case class PageDims(page: Int, width: Double, height: Double)
 
   /** Page metadata from positioned elements — the `get_pdf_info` analog
-    * (pdf_utils.py:187-256): page count + per-page dims + title. Fields with
-    * no analog in the element model are fixed and documented: encryption and
-    * author live in the PDF byte trailer/info dictionary, which this stage
-    * never sees (no PDF-byte parsing — stated limitation), so
-    * `is_encrypted = false` and `author = ""`. The title analog is the
-    * first-page leading heading (what marker/docling surface as the doc
-    * title when the info dictionary is absent).
+    * (pdf_utils.py:187-256): page count + per-page dims + title + author.
+    *
+    * The PDF info dictionary (`reader.metadata.title/author`,
+    * pdf_utils.py:236-239) has a direct element-model analog: rows of kind
+    * `info_title` / `info_author` carry the dictionary values when the
+    * source had them — they are metadata-only (skipped by [[layout]] and by
+    * the dimension scan). Like the reference, `title` prefers the info
+    * dictionary; absent that it falls back to the first-page leading heading
+    * (what marker/docling surface as the doc title when the dictionary is
+    * empty). `author` comes ONLY from the info row — there is no content
+    * heuristic for authorship, and the reference has none either.
+    * Encryption remains the one documented no-analog (`is_encrypted =
+    * false`): it lives in the PDF byte trailer, and this engine does no
+    * PDF-byte parsing.
     */
   final case class PageMeta(
       page_count: Int,
@@ -122,16 +132,21 @@ object PdfLayout {
       author: String = "")
 
   def pageMetadata(elements: Seq[PdfElement]): PageMeta = {
-    val dims = elements.groupBy(_.page).toSeq.sortBy(_._1).map { case (p, es) =>
+    val (info, content) = elements.partition(_.kind.startsWith("info_"))
+    def infoVal(key: String): String =
+      info.collectFirst { case e if e.kind == s"info_$key" => e.text }.getOrElse("")
+    val dims = content.groupBy(_.page).toSeq.sortBy(_._1).map { case (p, es) =>
       PageDims(p, es.map(e => e.x + e.w).max, es.map(e => e.y + e.h).max)
     }
-    // a heading on the FIRST page only: a chapter heading deep in the doc is
-    // not a document title
-    val firstPage = if (elements.isEmpty) 0 else elements.map(_.page).min
-    val title = elements
+    // heading fallback: FIRST page only — a chapter heading deep in the doc
+    // is not a document title
+    val firstPage = if (content.isEmpty) 0 else content.map(_.page).min
+    val headingTitle = content
       .filter(e => e.page == firstPage && e.kind == "text" && e.text.startsWith("# "))
       .sortBy(e => (e.y, e.x)).headOption
       .map(_.text.stripPrefix("# ")).getOrElse("")
-    PageMeta(dims.length, is_encrypted = false, dims, title = title)
+    val title = { val t = infoVal("title"); if (t.nonEmpty) t else headingTitle }
+    PageMeta(dims.length, is_encrypted = false, dims,
+      title = title, author = infoVal("author"))
   }
 }

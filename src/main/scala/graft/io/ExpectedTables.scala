@@ -1,0 +1,82 @@
+package graft.io
+
+import graft.chunk.Chunkers
+import graft.md.Markdown
+import graft.model.{Doc, SpanKind}
+import org.apache.spark.sql.SparkSession
+
+/** Generator-truth side tables for the DuckDB oracle session.
+  *
+  * The synthetic corpus ([[SyntheticDocs]]) declares, for every doc, BOTH the
+  * raw provider-shaped payload and the expected canonical span stream — the
+  * same golden-fixture role the reference's snapshot files play
+  * (tests/__snapshots__/test_output.ambr). DuckDB cannot call the Scala
+  * generator, so `graft.Verify` materializes that truth as parquet and the
+  * span-pipeline oracles read it directly (the relational form of the
+  * reference's snapshot compare, tests/test_output.py:38-49).
+  *
+  * Provenance of each table:
+  *   - `expected_spans` / `expected_docs`: pure generator output — fully
+  *     independent of the pipeline under test.
+  *   - `expected_chunks` / `expected_boundaries`: the generator's expected
+  *     spans run through the SAME chunker code the pipeline uses. Circular
+  *     for the chunker itself (the chunkers are golden-tested in ScalaTest:
+  *     ChunkerSpec, GoldenPipelineSpec) but independent of the extract stage
+  *     — which is what these oracles gate: a regression anywhere in
+  *     extract/normalize changes the spans feeding the chunker and flips the
+  *     compare red.
+  */
+object ExpectedTables {
+
+  /** Materialize all four tables under `dir` for the `nDocs`-doc corpus
+    * (seed 42, matching SparkEntry.rawDocs and Bench).
+    */
+  def materialize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
+    import spark.implicits._
+
+    spark.range(nDocs).flatMap { i =>
+      val g = SyntheticDocs.generate(42L, i)
+      g.expected.map(sp => (g.raw.doc_id, sp.kind, sp.text, sp.media_ref, sp.offset))
+    }.toDF("doc_id", "kind", "text", "media_ref", "offset")
+      .write.mode("overwrite").parquet(s"$dir/expected_spans")
+
+    spark.range(nDocs).map { i =>
+      val g = SyntheticDocs.generate(42L, i)
+      (g.raw.doc_id, g.raw.payload_kind, g.raw.mime_type)
+    }.toDF("doc_id", "payload_kind", "mime_type")
+      .write.mode("overwrite").parquet(s"$dir/expected_docs")
+
+    // Pipeline.chunk defaults (maxChunkSize = 1500, overlap = 50)
+    spark.range(nDocs).map { i =>
+      val g = SyntheticDocs.generate(42L, i)
+      val chunks = Chunkers.markdownChunks(Doc(g.raw.doc_id, g.expected))
+      (g.raw.doc_id, chunks.length.toLong,
+        chunks.map(_.media_refs.size.toLong).sum)
+    }.toDF("doc_id", "n_chunks", "n_media")
+      .write.mode("overwrite").parquet(s"$dir/expected_chunks")
+
+    // mirrors the pipeline_chunk_boundaries query's chunk → inject → reparse
+    spark.range(nDocs).map { i =>
+      val g = SyntheticDocs.generate(42L, i)
+      val d = Doc(g.raw.doc_id, g.expected)
+      val content = Markdown.render(d.spans).stripSuffix("\n")
+      val chunks = Chunkers.tokenAwareChunks(d, maxTokensPerChunk = 120)
+      val withB = Chunkers.addChunkBoundaries(content, chunks)
+      (g.raw.doc_id, chunks.length,
+        Markdown.parse(withB).count(_.kind == SpanKind.ChunkBoundary))
+    }.toDF("doc_id", "n_chunks", "n_boundaries")
+      .write.mode("overwrite").parquet(s"$dir/expected_boundaries")
+  }
+
+  /** Sweep `graft_expected_*` dirs under tmp older than 6h — per-application
+    * dirs from finished runs; the age guard keeps a concurrent run's tables
+    * alive.
+    */
+  def sweepStale(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_expected_") && f.lastModified() < cutoff)
+      .foreach(TableIO.deleteRecursively)
+  }
+}

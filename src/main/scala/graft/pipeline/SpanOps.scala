@@ -32,10 +32,13 @@ object SpanOps {
           s("media_ref").as("media_ref"), s("offset").as("offset"))).as("spans"))
 
   /** Skew-aware two-phase assemble for pathologically long documents: phase 1
-    * pre-sorts per (doc_id, salt) sub-lists in parallel, phase 2 merges the
-    * sub-lists. The per-key payload of phase 2 is `salt` rows instead of one
-    * row per span, so a 10^7-span document no longer funnels through a single
-    * task's collect_list (SURVEY §7.4 two-phase aggregate).
+    * pre-sorts per (doc_id, salt) sub-lists in parallel, phase 2 K-WAY MERGES
+    * the pre-sorted sub-lists ([[graft.functions.MergeSorted]], O(spans·salt)
+    * with no re-sort — the round-2 finding that `array_sort(flatten(...))`
+    * discarded phase 1's work is fixed, not re-documented). The per-key
+    * payload of phase 2 is `salt` rows instead of one row per span, so a
+    * 10^7-span document no longer funnels through a single task's
+    * collect_list (SURVEY §7.4 two-phase aggregate).
     */
   def assembleSkewAware(flat: DataFrame, salt: Int = 16): DataFrame =
     flat
@@ -44,7 +47,8 @@ object SpanOps {
       .agg(array_sort(collect_list(struct(
         col("offset"), col("kind"), col("text"), col("media_ref")))).as("part"))
       .groupBy(col("doc_id"))
-      .agg(array_sort(flatten(collect_list(col("part")))).as("sorted"))
+      .agg(graft.functions.MergeSorted.mergeSortedArrays(
+        collect_list(col("part"))).as("sorted"))
       .select(col("doc_id"), transform(col("sorted"), s =>
         struct(s("kind").as("kind"), s("text").as("text"),
           s("media_ref").as("media_ref"), s("offset").as("offset"))).as("spans"))

@@ -20,7 +20,10 @@ object EventStream {
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal sum: exact and order-insensitive, so the streaming result
+        // hash-matches the batch oracle regardless of micro-batching
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
 
   /** Run a streaming plan synchronously against whatever is in the source
     * directory (memory sink + processAllAvailable) — the local smoke path.

@@ -127,6 +127,24 @@ class DocOpsSpec extends AnyFunSuite {
     assert(noTitle.title == "")
   }
 
+  test("pageMetadata info-dictionary rows: title wins over heading, author surfaces, content unaffected") {
+    val elems = Seq(
+      PdfElement(0, 0, 0, 0, 0, "info_title", "Dict Title"),
+      PdfElement(0, 0, 0, 0, 0, "info_author", "Ada Lovelace"),
+      PdfElement(1, 0, 0, 100, 20, "text", "# Heading Title"),
+      PdfElement(1, 0, 40, 100, 20, "text", "body"))
+    val meta = PdfLayout.pageMetadata(elems)
+    // metadata.title or "" (pdf_utils.py:236-239): the dictionary wins
+    assert(meta.title == "Dict Title" && meta.author == "Ada Lovelace")
+    // info rows never count as a page or distort dims
+    assert(meta.page_count == 1)
+    assert(meta.page_dimensions == Seq(PdfLayout.PageDims(1, 100.0, 60.0)))
+    // and never leak into the span stream
+    val laid = PdfLayout.layout(elems)
+    assert(!laid.spans.exists(_.text.contains("Ada")))
+    assert(laid.spans.map(_.kind) == Seq("page_break", "text", "text"))
+  }
+
   test("numberedLines matches the reference projection") {
     import spark.implicits._
     val df = Seq((1L, "a\nbb")).toDF("doc_id", "text")

@@ -112,4 +112,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(byName("portable_simhash60")(Seq(arrL)).checkInputDataTypes().isSuccess)
     assert(byName("portable_hyperplane_bucket")(Seq(arrF, k)).checkInputDataTypes().isSuccess)
   }
+  test("merge_sorted_arrays: k-way merge equals flatten+sort, incl. ties and empty lists") {
+    import spark.implicits._
+    import graft.functions.MergeSorted
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 40).map { d =>
+      val n = rng.nextInt(30)
+      val spans = (0 until n).map(i => (i, s"k$i", s"t-$d-$i", ""))
+      (s"doc$d", spans)
+    }
+    val flat = docs.flatMap { case (id, spans) => spans.map(sp => (id, sp._1, sp._2, sp._3, sp._4)) }
+      .toDF("doc_id", "offset", "kind", "text", "media_ref")
+    val merged = flat
+      .withColumn("salt", pmod(col("offset"), lit(5)))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"), col("text"), col("media_ref")))).as("part"))
+      .groupBy(col("doc_id"))
+      .agg(MergeSorted.mergeSortedArrays(collect_list(col("part"))).as("m"))
+      .select(col("doc_id"), transform(col("m"), s => s("offset")).as("offs"))
+      .as[(String, Seq[Int])].collect().toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, spans) =>
+      assert(merged(id) == spans.map(_._1).sorted, id)
+    }
+    // offset ties across sub-lists stay deterministic and complete
+    val ties = Seq(("t", 3, "a"), ("t", 3, "b"), ("t", 1, "c"), ("t", 3, "d"))
+      .toDF("doc_id", "offset", "kind").withColumn("text", lit("")).withColumn("media_ref", lit(""))
+    val got = ties.withColumn("salt", pmod(monotonically_increasing_id(), lit(3)))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"), col("text"), col("media_ref")))).as("part"))
+      .groupBy(col("doc_id"))
+      .agg(MergeSorted.mergeSortedArrays(collect_list(col("part"))).as("m"))
+      .select(explode(col("m")).as("s")).select(col("s.offset")).as[Int].collect().toSeq
+    assert(got == Seq(1, 3, 3, 3))
+  }
 }

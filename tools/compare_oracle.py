@@ -34,13 +34,19 @@ for name in sorted(glob.glob(f"{out}/*/")):
     def canon(df):
         df = df[sorted(df.columns)]
         rows = sorted(df.astype(str).itertuples(index=False, name=None))
-        return hashlib.sha256(str(rows).encode()).hexdigest()[:12], list(df.columns), len(df)
-    sh, scols, sn = canon(sdf)
-    oh, ocols, on = canon(odf)
-    ok = (sh == oh and scols == ocols and sn == on)
+        # dtype-sensitive: the driver's hash distinguishes VARCHAR from
+        # BIGINT even when the stringified values match (round-2 lesson:
+        # astype(str) alone masked 7 doc_id type drifts) — so the canonical
+        # form includes the dtype vector alongside the value hash
+        dtypes = [str(t) for t in df.dtypes]
+        return hashlib.sha256(str(rows).encode()).hexdigest()[:12], list(df.columns), len(df), dtypes
+    sh, scols, sn, stypes = canon(sdf)
+    oh, ocols, on, otypes = canon(odf)
+    ok = (sh == oh and scols == ocols and sn == on and stypes == otypes)
     if not ok:
         fails += 1
-        print(f"{q:24s} MISMATCH rows {sn}vs{on} cols {scols}vs{ocols} hash {sh}vs{oh}")
+        print(f"{q:24s} MISMATCH rows {sn}vs{on} cols {scols}vs{ocols} "
+              f"hash {sh}vs{oh} dtypes {stypes}vs{otypes}")
         if scols == ocols and sn == on:
             merged = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True).compare(
                 odf.sort_values(sorted(odf.columns)).reset_index(drop=True))
