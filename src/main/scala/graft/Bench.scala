@@ -98,11 +98,18 @@ object Bench {
     val hsec = Seq(runJob(spark, scalePath)._2, runJob(spark, scalePath)._2).min
     val hdps = hn / hsec
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // best-of-2 per query: a single pass on this shared VM occasionally eats
+    // a multi-second host-contention spike (observed: a 0.4 s query sampled
+    // at 37 s once); the second pass also absorbs first-touch codegen
+    def timeSuite(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val pass1 = timeSuite()
+    val pass2 = timeSuite()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     spark.stop()
 
     // best docs/sec seen at `cpus` across ALL measurement sessions this run

@@ -140,16 +140,26 @@ final class TopKBuf(val k: Int) {
 
   def insert(s: Double, i: AnyRef): Unit = {
     if (n == k && !beats(s, i, n - 1)) return
-    var pos = n
-    while (pos > 0 && beats(s, i, pos - 1)) pos -= 1
+    // binary search for the insertion point: the buffer is sorted, so
+    // beats(s, i, ·) is monotone (false…false true…true) — O(log k)
+    // comparisons even at large k (the shift below is a single arraycopy)
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (beats(s, i, mid)) hi = mid else lo = mid + 1
+    }
+    val pos = lo
     if (pos >= k) return
     if (n < k && n == scores.length) { // grow toward k
       scores = java.util.Arrays.copyOf(scores, math.min(k, scores.length * 2))
       ids = java.util.Arrays.copyOf(ids, math.min(k, ids.length * 2))
     }
     val newN = math.min(n + 1, k)
-    var j = newN - 1
-    while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+    if (newN - 1 > pos) {
+      System.arraycopy(scores, pos, scores, pos + 1, newN - 1 - pos)
+      System.arraycopy(ids, pos, ids, pos + 1, newN - 1 - pos)
+    }
     scores(pos) = s
     ids(pos) = i
     n = newN

@@ -118,4 +118,29 @@ class IngestSpec extends AnyFunSuite {
     val pdf = out("bin/scan.pdf")
     assert(pdf.failure.contains("unsupported"), pdf.failure)
   }
+
+  test("distributed listing: top-level files, maxDepth pruning, single-file base") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest2")
+    def write(rel: String, content: String): Unit = {
+      val p = base.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    write("top.md", "# Top level file")
+    write("a/one.md", "# Depth one")
+    write("a/b/two.md", "# Depth two")
+    write("a/b/c/three.md", "# Depth three (pruned)")
+
+    // maxDepth=2: rel-path separator count ≤ 2 → a/b/two.md stays,
+    // a/b/c/three.md is pruned (and its directory never listed)
+    val ids = Ingest.fromDirectory(spark, base.toString, maxDepth = 2)
+      .collect().map(_.doc_id).toSet
+    assert(ids == Set("top.md", "a/one.md", "a/b/two.md"))
+
+    // single-file base: one row keyed by file name
+    val one = Ingest.fromDirectory(spark, base.resolve("a/one.md").toString).collect()
+    assert(one.length == 1 && one.head.doc_id == "one.md" &&
+      one.head.raw == "# Depth one")
+  }
 }

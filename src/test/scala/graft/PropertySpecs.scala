@@ -230,3 +230,42 @@ object PortableProps extends org.scalacheck.Properties("Portable") {
         (dirs.isEmpty || !path.matches(graft.ops.DocOps.globToRegex("*")))
     }
 }
+
+/** globToRegex checked against a SECOND reference implementation — the JDK's
+  * `FileSystems.getPathMatcher("glob:…")` — on the semantic subset the two
+  * share. Documented divergences excluded from generation: `**&#47;` (ours is
+  * pathlib-style "zero or more directories", Java requires the literal
+  * slash), `{a,b}` alternation (fnmatch has none; we escape braces), and
+  * `[]a]` (']' first is a literal member in fnmatch; the JDK rejects it).
+  */
+object GlobProps extends Properties("GlobToRegex") {
+  import org.scalacheck.Gen
+
+  private val token: Gen[String] = Gen.frequency(
+    5 -> Gen.oneOf("a", "b", "ab", "ba", "abc", "x", "a.b", "a-b"),
+    2 -> Gen.const("*"),
+    2 -> Gen.const("?"),
+    // "[]a]" (']' first = literal) is fnmatch-only: the JDK glob parser
+    // rejects it, so it stays out of the shared-subset generator (our
+    // handling is covered by the DocOpsSpec unit cases)
+    1 -> Gen.oneOf("[ab]", "[!b]", "[a-c]", "[-b]"))
+
+  private val segment: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, token)).map(_.mkString)
+
+  private val pattern: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, segment)).map(_.mkString("/"))
+
+  private val pathSeg: Gen[String] = Gen.oneOf("a", "b", "ab", "abc", "x", "a.b", "a-b", "c")
+  private val path: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, pathSeg)).map(_.mkString("/"))
+
+  property("matches the JDK PathMatcher on the shared glob subset") =
+    Prop.forAllNoShrink(pattern, path) { (pat, p) =>
+      val ours = graft.ops.DocOps.globToRegex(pat).r.pattern.matcher(p).matches()
+      val jdk = java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + pat)
+        .matches(java.nio.file.Paths.get(p))
+      ours == jdk
+    }
+}
