@@ -156,6 +156,37 @@ object Ingest {
       }
   }
 
+  /** Explicit file list → RawDoc rows (the reference's `convert_files`,
+    * converters/base.py:227-244: the caller already holds the paths, so
+    * O(paths) driver memory is the API's own contract). Reads are
+    * distributed; missing/unreadable files become failure-kind rows.
+    * doc_id = the path exactly as given (the reference keys by what it was
+    * handed).
+    */
+  def fromFiles(spark: SparkSession, paths: Seq[String]): Dataset[RawDoc] = {
+    import spark.implicits._
+    if (paths.isEmpty) return spark.emptyDataset[RawDoc]
+    val conf = spark.sessionState.newHadoopConf()
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val c = confB.value.value
+        it.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          try {
+            val fs = hp.getFileSystem(c)
+            val st = fs.getFileStatus(hp)
+            readOne(c, fs.makeQualified(hp).toString, p, st.getLen)
+          } catch {
+            case e: Exception =>
+              RawDoc(p, s"unsupported:read-error:${e.getClass.getSimpleName}",
+                mimeOf(p), "", Nil, Nil, source_path = p)
+          }
+        }
+      }
+  }
+
   /** Streaming BFS listing of one subtree: O(queue of pending dirs) memory,
     * one `listStatus` RPC per directory. When `maxDepth` > 0, directories
     * whose files would all exceed the depth bound are pruned unvisited.
