@@ -80,7 +80,22 @@ object Demo {
     val (w, h, ch, luma, phash) = graft.ops.Multimodal.ImageIoCodec.decode("image/png", pngBytes)
     println(f"  decoded ${w}x$h channels=$ch mean_luma=$luma%.4f dhash=$phash%016x")
 
-    // 6. golden round-trip (if the reference snapshot is present)
+    // 6. the Graft façade end-to-end on real files (convert_directory shape)
+    {
+      val b = java.nio.file.Files.createTempDirectory("graft-demo")
+      java.nio.file.Files.write(b.resolve("note.md"),
+        "# Facade demo\n\nOne paragraph.\n\n<!-- PageBreak -->\n\nPage two.".getBytes("UTF-8"))
+      val spark = graft.pipeline.Pipeline.session("local[2]", 2, "graft-demo")
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val docs = Graft.convertDirectory(spark, b.toString)
+        val doc = docs.collect().head
+        println(s"== Graft.convertDirectory: ${doc.doc_id} pages=${doc.page_count} " +
+          s"chunks=${Graft.chunkMarkdown(docs).count()} ==")
+      } finally spark.stop()
+    }
+
+    // 7. golden round-trip (if the reference snapshot is present)
     val ambr = new java.io.File("/root/reference/tests/__snapshots__/test_output.ambr")
     if (ambr.exists()) {
       val text = new String(java.nio.file.Files.readAllBytes(ambr.toPath))
