@@ -71,4 +71,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("ingestion: filter chain sits between the listing and the byte-read stage") {
+    val b = java.nio.file.Files.createTempDirectory("planspec-ingest")
+    java.nio.file.Files.createDirectories(b.resolve("x"))
+    java.nio.file.Files.write(b.resolve("a.md"), "# A".getBytes)
+    java.nio.file.Files.write(b.resolve("x/b.md"), "# B".getBytes)
+    val raw = graft.io.Ingest.fromDirectory(spark, b.toString,
+      pattern = "**/*.md", exclude = Seq("x/**"))
+    val p = raw.queryExecution.executedPlan.toString
+    // plan prints root-first: read MapPartitions → spread Exchange → Filter
+    // (include/exclude RLIKE + MIME INSET) → Union(top files, listing)
+    val readMap = p.indexOf("MapPartitions")
+    val spread = p.indexOf("Exchange hashpartitioning")
+    val filter = p.indexOf("Filter")
+    val listing = p.indexOf("Union")
+    assert(readMap >= 0 && spread > readMap && filter > spread && listing > filter, p)
+    assert(p.contains("RLIKE") && p.contains("INSET"), p)
+    // and the filters work: only a.md survives (x/** excluded), never read
+    assert(raw.collect().map(_.doc_id).toSeq == Seq("a.md"))
+  }
 }

@@ -9,7 +9,7 @@ object ProfAsm {
     val spark = Pipeline.session("local[32]", 32, "prof-asm")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val raw = spark.read.parquet("/tmp/graft_corpus").as[RawDoc]
+    val raw = spark.read.parquet(sys.env.getOrElse("PROF_CORPUS", "/tmp/graft_bench_corpus_v3_960000")).as[RawDoc]
     val docs = Pipeline.toDocsDF(Pipeline.extract(raw)).cache()
     docs.count() // materialize extraction once
     val flat = SpanOps.explodeSpans(docs).cache()
