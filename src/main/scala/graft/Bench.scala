@@ -79,6 +79,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.io.ExpectedTables.sweepStale() // stale per-application tmp dirs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"

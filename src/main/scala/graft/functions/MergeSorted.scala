@@ -60,13 +60,15 @@ case class MergeSortedArrays(child: Expression)
     var n = 0
     while (n < total) {
       var best = -1
-      var bestOffset = Int.MaxValue
+      var bestOffset = 0
       var j = 0
       while (j < k) {
         val l = lists(j)
         if (l != null && pos(j) < l.numElements()) {
           val off = l.getStruct(pos(j), numFields).getInt(0)
-          if (off < bestOffset) { bestOffset = off; best = j }
+          // best < 0 guard (not an Int.MaxValue sentinel): an element whose
+          // offset IS Int.MaxValue must still be selectable
+          if (best < 0 || off < bestOffset) { bestOffset = off; best = j }
         }
         j += 1
       }

@@ -68,15 +68,22 @@ object ExpectedTables {
       .write.mode("overwrite").parquet(s"$dir/expected_boundaries")
   }
 
-  /** Sweep `graft_expected_*` dirs under tmp older than 6h — per-application
-    * dirs from finished runs; the age guard keeps a concurrent run's tables
-    * alive.
+  /** Per-application tmp dirs this engine creates; all swept by
+    * [[sweepStale]]. Shutdown hooks alone would leak them under SIGKILL
+    * (which the kill/rerun harness exercises by design).
+    */
+  private val TmpPrefixes = Seq(
+    "graft_expected_", "graft_ingest_fixture_", "graft_events_stream_")
+
+  /** Sweep this engine's per-application tmp dirs older than 6h — leftovers
+    * of finished or SIGKILLed runs; the age guard keeps a concurrent run's
+    * dirs alive. Called from Verify and Bench startup.
     */
   def sweepStale(): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_expected_") && f.lastModified() < cutoff)
+      .filter(f => TmpPrefixes.exists(f.getName.startsWith) && f.lastModified() < cutoff)
       .foreach(TableIO.deleteRecursively)
   }
 }

@@ -144,5 +144,15 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(MergeSorted.mergeSortedArrays(collect_list(col("part"))).as("m"))
       .select(explode(col("m")).as("s")).select(col("s.offset")).as[Int].collect().toSeq
     assert(got == Seq(1, 3, 3, 3))
+    // Int.MaxValue offsets are selectable (no sentinel-collision crash)
+    val maxRow = Seq(("m", Int.MaxValue, "a"), ("m", 5, "b"))
+      .toDF("doc_id", "offset", "kind").withColumn("text", lit("")).withColumn("media_ref", lit(""))
+    val gotMax = maxRow.withColumn("salt", pmod(col("offset"), lit(2)))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"), col("text"), col("media_ref")))).as("part"))
+      .groupBy(col("doc_id"))
+      .agg(MergeSorted.mergeSortedArrays(collect_list(col("part"))).as("m"))
+      .select(explode(col("m")).as("s")).select(col("s.offset")).as[Int].collect().toSeq
+    assert(gotMax == Seq(5, Int.MaxValue))
   }
 }

@@ -255,6 +255,10 @@ object GlobProps extends Properties("GlobToRegex") {
 
   private val pattern: Gen[String] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, segment)).map(_.mkString("/"))
+      // two adjacent '*' tokens would concatenate into '**', whose semantics
+      // diverge by design (pathlib-style vs JDK) — keep it out of the
+      // shared-subset generator
+      .retryUntil(p => !p.contains("**"), 100)
 
   private val pathSeg: Gen[String] = Gen.oneOf("a", "b", "ab", "abc", "x", "a.b", "a-b", "c")
   private val path: Gen[String] =
