@@ -454,6 +454,25 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("width"),
           col("height"), col("resized"))
     }),
+    "q_audio_features" -> ((s, dir) => {
+      // REAL WAV round-trip: deterministic integer-PCM per doc → WAVE
+      // encode (javax.sound) → container+signal decode → features whose
+      // integer accumulators the oracle reproduces exactly (Multimodal
+      // .WavCodec scaladoc)
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val n = (400 + (id % 10) * 40).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 2654435761L + id) % 65536L) - 32768L).toShort)
+          Multimodal.MediaRow(id.toString, "aud-0.wav", "audio/x-wav",
+            Multimodal.WavCodec.encodeWav(samples, sampleRate = 8000))
+        }
+      Multimodal.extractAudioFeatures(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("duration_ms"),
+          col("rms"), col("peak"))
+    }),
     "q_media_table" -> ((s, dir) => {
       // the REAL extraction sidecar: (doc_id, media_ref, mime_type, content)
       // projected from the docs table's media column; summarized per mime.
@@ -960,6 +979,17 @@ object SparkEntry {
         |       THEN CAST(round(h * 64.0 / greatest(w, h)) AS INT) ELSE h END AS height,
         |  greatest(w, h) > 64 AS resized
         |FROM d""".stripMargin,
+    "q_audio_features" ->
+      // integer PCM: sum of squared samples and max |sample| are exact
+      // integers on both engines; one final IEEE sqrt/divide each side
+      s"""WITH d AS (SELECT doc_id, 400 + (doc_id % 10) * 40 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n, ((i * 2654435761 + doc_id) % 65536) - 32768 AS smp FROM s)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(n AS INT) AS n_frames, CAST(n // 8 AS INT) AS duration_ms,
+        |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0)), 4) AS rms,
+        |  round(CAST(max(abs(smp)) AS DOUBLE) / 32768.0, 4) AS peak
+        |FROM v GROUP BY doc_id, n""".stripMargin,
     "q_frame_sample" ->
       s"""WITH m AS (
         |  SELECT doc_id, 'img-0.png' AS media_ref,

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *   - [[Multimodal.FakeCodec]] — deterministic pseudo-features from a
   *     mod-(2^31-1) byte fold, reproducible in plain SQL: the
   *     oracle-checkable path, and the stand-in for formats the JDK cannot
-  *     decode (audio/video stay stubbed — no codec libs in this container).
+  *     decode (video and compressed audio stay stubbed — no codec libs in
+  *     this container; PCM audio is REAL via [[Multimodal.WavCodec]]).
   */
 object Multimodal {
 
@@ -317,6 +318,130 @@ object Multimodal {
           case e: Exception =>
             ResizedMedia(r.doc_id, r.media_ref, r.mime_type, r.content, 0, 0,
               resized = false, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- audio (REAL)
+
+  final case class AudioFeatures(
+      doc_id: String,
+      media_ref: String,
+      mime_type: String,
+      byte_len: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Int,
+      duration_ms: Int,
+      rms: Double,
+      peak: Double,
+      decode_error: String)
+
+  /** REAL audio parsing via the JDK's `javax.sound.sampled` (WAV/AIFF/AU,
+    * PCM): container header → format facts, PCM frames → integer-exact
+    * signal features. This retires the round-2 "audio stubbed" limitation
+    * for the formats the JDK ships parsers for (compressed codecs — MP3,
+    * AAC, Opus — remain honestly out: no codec libs in this container).
+    *
+    * Features are computed from EXACT integer accumulators (sum of squared
+    * samples as a Long, max |sample| as an Int) and only converted to
+    * floating point in one final IEEE-deterministic expression — so a SQL
+    * oracle reproduces them bit-for-bit:
+    *   rms  = round(sqrt(sum_sq / (n · 2^30)), 4)   (16-bit full scale 32768)
+    *   peak = round(max_abs / 32768, 4)
+    *
+    * `maxFrames` bounds the scan for scale honesty (a 10-hour recording
+    * costs O(maxFrames), and the cap is recorded by n_frames > scanned).
+    */
+  object WavCodec extends Serializable {
+    def decode(bytes: Array[Byte], maxFrames: Int = 1 << 22):
+        (Int, Int, Int, Int, Int, Double, Double) = {
+      if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16)
+          throw new IllegalArgumentException(
+            s"unsupported encoding ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit (PCM_SIGNED 16 only)")
+        val channels = fmt.getChannels
+        val sampleRate = math.round(fmt.getSampleRate)
+        val totalFrames = in.getFrameLength.toInt
+        val frameBytes = fmt.getFrameSize
+        val scanFrames = math.min(totalFrames, maxFrames)
+        val buf = new Array[Byte](scanFrames * frameBytes)
+        var off = 0
+        while (off < buf.length) {
+          val r = in.read(buf, off, buf.length - off)
+          if (r < 0) throw new IllegalArgumentException(
+            s"truncated PCM payload at frame ${off / frameBytes}/$scanFrames")
+          off += r
+        }
+        var sumSq = 0L
+        var maxAbs = 0
+        var i = 0
+        val big = fmt.isBigEndian
+        while (i + 1 < buf.length) {
+          val s =
+            if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort.toInt
+            else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
+          sumSq += s.toLong * s.toLong
+          val a = math.abs(s)
+          if (a > maxAbs) maxAbs = a
+          i += 2
+        }
+        val nSamples = buf.length / 2
+        val rms =
+          if (nSamples == 0) 0.0
+          else math.rint(math.sqrt(sumSq.toDouble / (nSamples.toDouble * 1073741824.0)) * 10000) / 10000
+        val peak = math.rint(maxAbs.toDouble / 32768.0 * 10000) / 10000
+        val durationMs = math.round(totalFrames.toDouble / sampleRate * 1000).toInt
+        (sampleRate, channels, 16, totalFrames, durationMs, rms, peak)
+      } finally in.close()
+    }
+
+    /** Encode 16-bit signed PCM mono samples as a WAVE container (the
+      * test-fixture inverse of [[decode]]).
+      */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(i * 2) = (samples(i) & 0xff).toByte
+        pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Audio feature extraction over a media table — same batched shape and
+    * decode_error channel as [[extractFeatures]].
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = if (r.content == null) 0 else r.content.length
+        try {
+          val (sr, ch, bits, frames, durMs, rms, peak) = WavCodec.decode(r.content)
+          AudioFeatures(r.doc_id, r.media_ref, r.mime_type, len,
+            sr, ch, bits, frames, durMs, rms, peak, "")
+        } catch {
+          case e: Exception =>
+            AudioFeatures(r.doc_id, r.media_ref, r.mime_type, len,
+              0, 0, 0, 0, 0, 0.0, 0.0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
     }

@@ -118,4 +118,29 @@ class MultimodalSpec extends AnyFunSuite {
       "Empty" -> Map.empty))
     assert(m == Map("Title" -> "Quarterly Report", "Author" -> "A. Writer", "Empty" -> ""))
   }
+  test("WavCodec: real WAVE round-trip, exact integer features, honest failures") {
+    import graft.ops.Multimodal
+    // square wave at half scale: rms = peak = 0.5 exactly
+    val square = Array.tabulate(800)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    val wav = Multimodal.WavCodec.encodeWav(square, sampleRate = 8000)
+    val (sr, ch, bits, frames, durMs, rms, peak) = Multimodal.WavCodec.decode(wav)
+    assert(sr == 8000 && ch == 1 && bits == 16 && frames == 800)
+    assert(durMs == 100) // 800 frames / 8000 Hz
+    assert(rms == 0.5 && peak == 0.5)
+    // silence: both zero
+    val silent = Multimodal.WavCodec.encodeWav(Array.fill(80)(0.toShort), 8000)
+    val z = Multimodal.WavCodec.decode(silent)
+    assert(z._6 == 0.0 && z._7 == 0.0)
+    // non-audio bytes fail with an exception (extractAudioFeatures maps it
+    // to a decode_error row, never a task failure)
+    intercept[Exception] { Multimodal.WavCodec.decode("not a wav".getBytes("UTF-8")) }
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow("d1", "a.wav", "audio/x-wav", wav),
+      Multimodal.MediaRow("d2", "b.wav", "audio/x-wav", "garbage".getBytes("UTF-8"))))
+    val feats = Multimodal.extractAudioFeatures(rows).collect().map(f => f.doc_id -> f).toMap
+    assert(feats("d1").decode_error == "" && feats("d1").rms == 0.5)
+    assert(feats("d2").decode_error.nonEmpty && feats("d2").sample_rate == 0)
+  }
 }
