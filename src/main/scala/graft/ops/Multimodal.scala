@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache writes a TEMP FILE per encode/decode —
+  // measured 2× the whole resize cost in a tight loop; in-memory streams only
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Media rows use the core model's sidecar shape ([[graft.model.MediaRef]],
     * docler's `Image`, docler_api/routes.py:62-64).
     */
@@ -271,6 +275,64 @@ object Multimodal {
     }
   }
 
+  /** Synchronous area-averaging downscale on raw int rasters.
+    *
+    * Replaces the round-2 `Image.getScaledInstance(SCALE_AREA_AVERAGING)` +
+    * `drawImage(…, null)` pair, which is an ASYNC producer chain: with a
+    * null ImageObserver the draw can return before the filtered pixels are
+    * produced, yielding silently blank output under concurrency (classic AWT
+    * pitfall — caught by the round-3 thread probe, now locked by the
+    * mean-luma preservation test). `drawImage` from a BufferedImage SOURCE
+    * is synchronous by contract, so the one conversion here is safe, and the
+    * averaging loop runs on the backing int array — no per-pixel
+    * ColorModel/allocation churn (the naive bulk `getRGB` on byte rasters
+    * allocates per pixel and collapses under 16 threads).
+    */
+  private def boxAverageScale(
+      img: java.awt.image.BufferedImage, nw: Int, nh: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgbImg =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+      else {
+        val t = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = t.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose() // synchronous: BufferedImage source
+        t
+      }
+    val src = rgbImg.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val dst = out.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+    var dy = 0
+    while (dy < nh) {
+      val y0 = dy * h / nh
+      val y1 = math.max(y0 + 1, (dy + 1) * h / nh)
+      var dx = 0
+      while (dx < nw) {
+        val x0 = dx * w / nw
+        val x1 = math.max(x0 + 1, (dx + 1) * w / nw)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          val row = y * w
+          var x = x0
+          while (x < x1) {
+            val p = src(row + x)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        dst(dy * nw + dx) =
+          (((r / n).toInt & 0xff) << 16) | (((g / n).toInt & 0xff) << 8) | ((b / n).toInt & 0xff)
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
   final case class ResizedMedia(
       doc_id: String,
       media_ref: String,
@@ -303,12 +365,7 @@ object Multimodal {
             val scale = maxDim.toDouble / math.max(w, h)
             val nw = math.max(1, math.round(w * scale).toInt)
             val nh = math.max(1, math.round(h * scale).toInt)
-            val scaled = new java.awt.image.BufferedImage(nw, nh,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = scaled.createGraphics()
-            try g.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING),
-              0, 0, null)
-            finally g.dispose()
+            val scaled = boxAverageScale(img, nw, nh)
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(scaled, "png", bos)
             ResizedMedia(r.doc_id, r.media_ref, "image/png", bos.toByteArray, nw, nh,

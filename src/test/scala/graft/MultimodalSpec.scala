@@ -97,6 +97,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert((back._1, back._2) == (64, 32))
     assert(!out("small").resized && out("small").width == 30 && out("small").error == "")
     assert(!out("bad").resized && out("bad").error.contains("undecodable"))
+    // CONTENT preservation, not just dims: a solid color must survive the
+    // downscale exactly (the async getScaledInstance path this replaced
+    // could emit silently blank pixels under concurrency)
+    val solid = Multimodal.resizeImages(spark.createDataset(Seq(
+      Multimodal.MediaRow("solid", "img-0.png", "image/png", png(200, 100, (_, _) => 0x406080)))),
+      maxDim = 64).collect().head
+    val (_, _, _, luma, _) = Multimodal.ImageIoCodec.decode("image/png", solid.content)
+    val expected = math.rint((0.299 * 0x40 + 0.587 * 0x60 + 0.114 * 0x80) / 255.0 * 10000) / 10000
+    assert(luma == expected, s"resized solid-color luma drifted: $luma vs $expected")
   }
 
   test("filterMinSize keeps images >= the min dimension, drops small and undecodable") {
