@@ -22,6 +22,24 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** FileStreamSource needs a directory; the sf tables ship one parquet FILE
+    * each — stage it into a per-process temp dir (tiny, one copy). Swept on
+    * exit and by [[graft.io.ExpectedTables]]'s aged-orphan sweep.
+    */
+  private def stageAsStreamDir(s: SparkSession, dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else {
+      val d = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_events_stream_${s.sparkContext.applicationId}_$table")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(src, d.resolve(s"$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      sys.addShutdownHook(graft.io.TableIO.deleteRecursively(d.toFile))
+      d.toString
+    }
+  }
+
   /** Synthetic interleaved corpus sized off the documents table (~4×). */
   private def rawDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
@@ -121,20 +139,7 @@ object SparkEntry {
       // memory sink collects to the driver — bounded by the distinct
       // (window, event_type) count, not the event count.
       val batschema = tbl(s, dir, "events").schema
-      // FileStreamSource needs a directory; the sf tables ship one parquet
-      // FILE each — stage it into a per-process temp dir (tiny, one copy)
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir =
-        if (java.nio.file.Files.isDirectory(src)) src.toString
-        else {
-          val d = java.nio.file.Paths.get(
-            s"${sys.props("java.io.tmpdir")}/graft_events_stream_${s.sparkContext.applicationId}")
-          java.nio.file.Files.createDirectories(d)
-          java.nio.file.Files.copy(src, d.resolve("events.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          sys.addShutdownHook(graft.io.TableIO.deleteRecursively(d.toFile))
-          d.toString
-        }
+      val streamDir = stageAsStreamDir(s, dir, "events")
       val stream = graft.streaming.EventStream.windowedCounts(s, streamDir, batschema)
       val name = "q_events_stream_sink"
       val q = stream.writeStream.outputMode("complete")
@@ -143,6 +148,27 @@ object SparkEntry {
       s.table(name).select(
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
+    }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // streaming exact-dedup correctness row: DocStream.dedupStream
+      // (dropDuplicates state, append mode) over the documents table read as
+      // a file stream. Survivor IDENTITY under streaming dropDuplicates is
+      // first-arrival — nondeterministic across partitions — so the
+      // projection emits only survivor-INVARIANT columns: the content hash
+      // and the hash-determined text length. Row count still proves the
+      // dedup (one row per distinct content), and the memory sink holds
+      // distinct-hash rows, not the corpus.
+      val schema = tbl(s, dir, "documents").schema
+      val raw = s.readStream.schema(schema)
+        .parquet(stageAsStreamDir(s, dir, "documents"))
+      val deduped = graft.streaming.DocStream.dedupStream(raw)
+        .select(col("content_hash"),
+          length(col("text")).cast("int").as("n_chars"))
+      val name = "q_stream_dedup_sink"
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
     }),
     // ------------------------------------------------ text analysis
     "q_token_count" -> ((s, dir) =>
@@ -253,6 +279,28 @@ object SparkEntry {
         (d.doc_id, chunks.length,
           reparsed.count(_.kind == graft.model.SpanKind.ChunkBoundary))
       }.toDF("doc_id", "n_chunks", "n_boundaries")
+    }),
+    "q_stream_extract" -> ((s, dir) => {
+      // streaming EXTRACTION correctness row: the same typed-map extraction
+      // as the batch pipeline, run as a Structured Streaming plan (append
+      // mode, stateless) over the staged synthetic corpus; the projection
+      // runs BEFORE the memory sink, so the driver holds three small
+      // columns per doc, never the span payloads
+      import s.implicits._
+      val n = tbl(s, dir, "documents").count() * 4
+      val stageDir =
+        s"${sys.props("java.io.tmpdir")}/graft_stream_raw_${s.sparkContext.applicationId}"
+      s.range(n).map(i => SyntheticDocs.generate(42L, i).raw)
+        .write.mode("overwrite").parquet(stageDir)
+      sys.addShutdownHook(graft.io.TableIO.deleteRecursively(new java.io.File(stageDir)))
+      val schema = s.read.parquet(stageDir).schema
+      val stream = graft.streaming.DocStream.extractStream(s, stageDir, schema)
+        .select(col("doc_id"), col("page_count"), size(col("spans")).as("n_spans"))
+      val name = "q_stream_extract_sink"
+      val q = stream.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
     }),
     "pipeline_lineage" -> ((s, dir) => {
       val out = Pipeline.extract(rawDocs(s, dir), repartitionTo = 16)
@@ -529,6 +577,11 @@ object SparkEntry {
         |  FROM $espans)
         |SELECT doc_id, count(*) AS n_spans_p12 FROM p
         |WHERE page_no IN (1, 2) GROUP BY 1""".stripMargin,
+    "q_stream_extract" ->
+      s"""SELECT doc_id,
+        |  CAST(greatest(count(*) FILTER (WHERE kind = 'page_break'), 1) AS INT) AS page_count,
+        |  CAST(count(*) AS INT) AS n_spans
+        |FROM $espans GROUP BY 1""".stripMargin,
     "pipeline_lineage" ->
       s"""SELECT count(DISTINCT doc_id) AS docs, count(*) AS spans,
         |  CAST(0 AS BIGINT) AS failures
@@ -643,6 +696,11 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      // survivor-invariant projection of the streaming dedup (see queries)
+      """SELECT DISTINCT sha256(text) AS content_hash,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents""".stripMargin,
     "q_dedup_survivors" ->
       """SELECT doc_id, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin,

@@ -73,7 +73,8 @@ object ExpectedTables {
     * (which the kill/rerun harness exercises by design).
     */
   private val TmpPrefixes = Seq(
-    "graft_expected_", "graft_ingest_fixture_", "graft_events_stream_")
+    "graft_expected_", "graft_ingest_fixture_", "graft_events_stream_",
+    "graft_stream_raw_")
 
   /** Sweep this engine's per-application tmp dirs older than 6h — leftovers
     * of finished or SIGKILLed runs; the age guard keeps a concurrent run's

@@ -137,7 +137,9 @@ object DocOps {
             if (cls.startsWith("]")) cls = "\\]" + cls.substring(1)
             if (!negated && cls.startsWith("^")) cls = "\\^" + cls.substring(1)
             sb += '['
-            if (negated) sb += '^'
+            // a negated class stays within one path segment (like `*`/`?`
+            // above and the JDK PathMatcher): [!b] must not match '/'
+            if (negated) sb ++= "^/"
             sb ++= cls
             sb += ']'
             i = close + 1
