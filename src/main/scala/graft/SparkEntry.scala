@@ -22,6 +22,29 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-doc REAL PNGs (solid color, deterministic dims w=30+id%100,
+    * h=20+id%50) — the fixture for the real-codec media queries; dims are
+    * arithmetic in doc_id so DuckDB oracles reproduce them exactly.
+    */
+  private def synthPngMedia(s: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    tbl(s, dir, "documents").select(col("doc_id"))
+      .as[Long].map { id =>
+        val w = 30 + (id % 100).toInt
+        val h = 20 + (id % 50).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color((id % 256).toInt, 80, 160))
+          g.fillRect(0, 0, w, h)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id.toString, "img-0.png", "image/png", bos.toByteArray)
+      }
+  }
+
   /** FileStreamSource needs a directory; the sf tables ship one parquet FILE
     * each — stage it into a per-process temp dir (tiny, one copy). Swept on
     * exit and by [[graft.io.ExpectedTables]]'s aged-orphan sweep.
@@ -482,25 +505,19 @@ object SparkEntry {
       // REAL javax.imageio decode → area-average downscale → PNG re-encode
       // over per-doc synthesized PNGs (solid color, deterministic dims);
       // output dims are pure arithmetic, so the oracle checks them exactly
-      import s.implicits._
-      val media = tbl(s, dir, "documents").select(col("doc_id"))
-        .as[Long].map { id =>
-          val w = 30 + (id % 100).toInt
-          val h = 20 + (id % 50).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = img.createGraphics()
-          try {
-            g.setColor(new java.awt.Color((id % 256).toInt, 80, 160))
-            g.fillRect(0, 0, w, h)
-          } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Multimodal.MediaRow(id.toString, "img-0.png", "image/png", bos.toByteArray)
-        }
-      Multimodal.resizeImages(media, maxDim = 64)
+      Multimodal.resizeImages(synthPngMedia(s, dir), maxDim = 64)
         .select(col("doc_id").cast("long").as("doc_id"), col("width"),
           col("height"), col("resized"))
+    }),
+    "q_media_minsize" -> ((s, dir) => {
+      // image_min_size filter over the same REAL PNGs: header-only dims
+      // (no raster decode), keep images whose short side >= 40. The dims
+      // are arithmetic in doc_id, so the oracle reproduces the selection
+      // set exactly: h = 20 + id%50 >= 40 AND w = 30 + id%100 >= 40.
+      import s.implicits._
+      Multimodal.filterMinSize(synthPngMedia(s, dir), minSize = 40)
+        .map(r => (r.doc_id.toLong, r.media_ref))
+        .toDF("doc_id", "media_ref")
     }),
     "q_audio_features" -> ((s, dir) => {
       // REAL WAV round-trip: deterministic integer-PCM per doc → WAVE
@@ -1037,6 +1054,10 @@ object SparkEntry {
         |       THEN CAST(round(h * 64.0 / greatest(w, h)) AS INT) ELSE h END AS height,
         |  greatest(w, h) > 64 AS resized
         |FROM d""".stripMargin,
+    "q_media_minsize" ->
+      // selection set of the header-only min-size filter (see queries)
+      """SELECT doc_id, 'img-0.png' AS media_ref FROM documents
+        |WHERE doc_id % 50 >= 20 AND doc_id % 100 >= 10""".stripMargin,
     "q_audio_features" ->
       // integer PCM: sum of squared samples and max |sample| are exact
       // integers on both engines; one final IEEE sqrt/divide each side
