@@ -509,6 +509,18 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("width"),
           col("height"), col("resized"))
     }),
+    "q_export_json" -> ((s, dir) => {
+      // the reference API's JSON response (routes.py:55-64: the converted
+      // Document serialized with image content base64-inlined) as a sink
+      // projection: one compact JSON document per media row, byte-identical
+      // to the DuckDB json_object oracle (all fields ASCII by construction
+      // — docPayload squashes non-ASCII — so engine escaping agrees)
+      Multimodal.docDerivedMediaTable(tbl(s, dir, "documents")).toDF()
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"),
+          to_json(struct(col("doc_id").cast("long").as("doc_id"),
+            col("media_ref"), col("mime_type"),
+            base64(col("content")).as("content_b64"))).as("doc_json"))
+    }),
     "q_media_minsize" -> ((s, dir) => {
       // image_min_size filter over the same REAL PNGs: header-only dims
       // (no raster decode), keep images whose short side >= 40. The dims
@@ -1058,6 +1070,22 @@ object SparkEntry {
       // selection set of the header-only min-size filter (see queries)
       """SELECT doc_id, 'img-0.png' AS media_ref FROM documents
         |WHERE doc_id % 50 >= 20 AND doc_id % 100 >= 10""".stripMargin,
+    "q_export_json" ->
+      // compact JSON per media row, fields in struct order (see queries)
+      """WITH m AS (
+        |  SELECT doc_id, 'img-0.png' AS media_ref, 'image/png' AS mime_type,
+        |         CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g') AS payload
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'img-1.jpg', 'image/jpeg',
+        |         CAST(doc_id AS VARCHAR) || ':' || regexp_replace(source, '[^ -~]', '?', 'g')
+        |  FROM documents WHERE doc_id % 6 = 0
+        |)
+        |SELECT doc_id, media_ref,
+        |  CAST(json_object('doc_id', doc_id, 'media_ref', media_ref,
+        |    'mime_type', mime_type,
+        |    'content_b64', to_base64(encode(payload))) AS VARCHAR) AS doc_json
+        |FROM m""".stripMargin,
     "q_audio_features" ->
       // integer PCM: sum of squared samples and max |sample| are exact
       // integers on both engines; one final IEEE sqrt/divide each side
