@@ -49,7 +49,7 @@ object Bench {
         .foreach(graft.io.TableIO.deleteRecursively)
       val s = mkSession(32)
       import s.implicits._
-      s.range(nDocs).map(i => SyntheticDocs.generate(42L, i).raw)
+      s.range(nDocs).map(i => SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i).raw)
         .write.mode("overwrite").parquet(path)
       s.stop()
     }
@@ -85,7 +85,7 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     val spark0 = mkSession(cpus)
-    val nDocs = spark0.read.parquet(s"$sfDir/documents.parquet").count() * 4
+    val nDocs = SyntheticDocs.corpusSize(spark0.read.parquet(s"$sfDir/documents.parquet").count())
     spark0.stop()
 
     // the headline uses a fixed 960k-doc corpus so docs/sec measures work,

@@ -22,6 +22,14 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** One cleanup hook per staged tmp path, however many times the query
+    * runs in this JVM (Bench does best-of-2 passes over every query).
+    */
+  private val registeredCleanups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(path: String): Unit =
+    if (registeredCleanups.add(path))
+      sys.addShutdownHook(graft.io.TableIO.deleteRecursively(new java.io.File(path)))
+
   /** Per-doc REAL PNGs (solid color, deterministic dims w=30+id%100,
     * h=20+id%50) — the fixture for the real-codec media queries; dims are
     * arithmetic in doc_id so DuckDB oracles reproduce them exactly.
@@ -58,7 +66,7 @@ object SparkEntry {
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.copy(src, d.resolve(s"$table.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      sys.addShutdownHook(graft.io.TableIO.deleteRecursively(d.toFile))
+      registerCleanup(d.toString)
       d.toString
     }
   }
@@ -66,8 +74,8 @@ object SparkEntry {
   /** Synthetic interleaved corpus sized off the documents table (~4×). */
   private def rawDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val n = tbl(spark, dir, "documents").count() * 4
-    spark.range(n).map(i => SyntheticDocs.generate(seed = 42L, i).raw)
+    val n = SyntheticDocs.corpusSize(tbl(spark, dir, "documents").count())
+    spark.range(n).map(i => SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i).raw)
   }
 
   /** The relational `documents` table lifted into `Dataset[Doc]` (single
@@ -96,7 +104,7 @@ object SparkEntry {
   /** Flagship: full extract → assemble → summarize pipeline on sf=0.001. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val raw = spark.range(2000).map(i => SyntheticDocs.generate(42L, i).raw)
+    val raw = spark.range(2000).map(i => SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i).raw)
     val docs = Pipeline.toDocs(Pipeline.extract(raw, repartitionTo = 32)).toDF()
     docs.select(col("doc_id"), col("page_count"), size(col("spans")).as("n_spans"))
   }
@@ -309,15 +317,12 @@ object SparkEntry {
       // mode, stateless) over the staged synthetic corpus; the projection
       // runs BEFORE the memory sink, so the driver holds three small
       // columns per doc, never the span payloads
-      import s.implicits._
-      val n = tbl(s, dir, "documents").count() * 4
+      val ds = rawDocs(s, dir)
       val stageDir =
         s"${sys.props("java.io.tmpdir")}/graft_stream_raw_${s.sparkContext.applicationId}"
-      s.range(n).map(i => SyntheticDocs.generate(42L, i).raw)
-        .write.mode("overwrite").parquet(stageDir)
-      sys.addShutdownHook(graft.io.TableIO.deleteRecursively(new java.io.File(stageDir)))
-      val schema = s.read.parquet(stageDir).schema
-      val stream = graft.streaming.DocStream.extractStream(s, stageDir, schema)
+      ds.write.mode("overwrite").parquet(stageDir)
+      registerCleanup(stageDir)
+      val stream = graft.streaming.DocStream.extractStream(s, stageDir, ds.schema)
         .select(col("doc_id"), col("page_count"), size(col("spans")).as("n_spans"))
       val name = "q_stream_extract_sink"
       val q = stream.writeStream.outputMode("append").format("memory")
@@ -482,9 +487,9 @@ object SparkEntry {
     "q_verify_join" -> ((s, dir) => {
       // self-verification: pipeline output vs the generator's expected spans
       import s.implicits._
-      val n = tbl(s, dir, "documents").count() * 4
+      val n = SyntheticDocs.corpusSize(tbl(s, dir, "documents").count())
       val expected = s.range(n)
-        .map { i => val g = SyntheticDocs.generate(42L, i); Doc(g.raw.doc_id, g.expected) }
+        .map { i => val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i); Doc(g.raw.doc_id, g.expected) }
         .toDF()
       val ours = Pipeline.toDocsDF(Pipeline.extract(rawDocs(s, dir)))
       DocOps.verifyJoin(ours, expected)

@@ -1,4 +1,5 @@
 package graft
+import graft.io.SyntheticDocs
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
@@ -22,7 +23,7 @@ object Verify {
     graft.io.ExpectedTables.sweepStale()
     val expectedDir =
       s"${sys.props("java.io.tmpdir")}/graft_expected_${spark.sparkContext.applicationId}"
-    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * 4
+    val nDocs = SyntheticDocs.corpusSize(spark.read.parquet(s"$sfDir/documents.parquet").count())
     graft.io.ExpectedTables.materialize(spark, nDocs, expectedDir)
     sys.props("graft.expected.dir") = expectedDir
     SparkEntry.queries.foreach { case (name, fn) =>

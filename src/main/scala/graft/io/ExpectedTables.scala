@@ -35,20 +35,20 @@ object ExpectedTables {
     import spark.implicits._
 
     spark.range(nDocs).flatMap { i =>
-      val g = SyntheticDocs.generate(42L, i)
+      val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i)
       g.expected.map(sp => (g.raw.doc_id, sp.kind, sp.text, sp.media_ref, sp.offset))
     }.toDF("doc_id", "kind", "text", "media_ref", "offset")
       .write.mode("overwrite").parquet(s"$dir/expected_spans")
 
     spark.range(nDocs).map { i =>
-      val g = SyntheticDocs.generate(42L, i)
+      val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i)
       (g.raw.doc_id, g.raw.payload_kind, g.raw.mime_type)
     }.toDF("doc_id", "payload_kind", "mime_type")
       .write.mode("overwrite").parquet(s"$dir/expected_docs")
 
     // Pipeline.chunk defaults (maxChunkSize = 1500, overlap = 50)
     spark.range(nDocs).map { i =>
-      val g = SyntheticDocs.generate(42L, i)
+      val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i)
       val chunks = Chunkers.markdownChunks(Doc(g.raw.doc_id, g.expected))
       (g.raw.doc_id, chunks.length.toLong,
         chunks.map(_.media_refs.size.toLong).sum)
@@ -57,7 +57,7 @@ object ExpectedTables {
 
     // mirrors the pipeline_chunk_boundaries query's chunk → inject → reparse
     spark.range(nDocs).map { i =>
-      val g = SyntheticDocs.generate(42L, i)
+      val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i)
       val d = Doc(g.raw.doc_id, g.expected)
       val content = Markdown.render(d.spans).stripSuffix("\n")
       val chunks = Chunkers.tokenAwareChunks(d, maxTokensPerChunk = 120)

@@ -18,6 +18,15 @@ import graft.model._
   */
 object SyntheticDocs {
 
+  /** Canonical corpus parameters — the SINGLE source of truth shared by the
+    * batch path (SparkEntry.rawDocs), the streaming path (q_stream_extract),
+    * Bench's staged corpus, and Verify/ExpectedTables' generator-truth
+    * oracle tables. Changing either here changes ALL of them together;
+    * divergence would only surface as a red driver gate.
+    */
+  val CorpusSeed = 42L
+  def corpusSize(documentsCount: Long): Long = documentsCount * 4
+
   final case class GenDoc(raw: RawDoc, expected: Seq[Span])
 
   private val Words: IndexedSeq[String] =

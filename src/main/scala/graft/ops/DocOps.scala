@@ -136,6 +136,10 @@ object DocOps {
               .replace("\\", "\\\\").replace("[", "\\[")
             if (cls.startsWith("]")) cls = "\\]" + cls.substring(1)
             if (!negated && cls.startsWith("^")) cls = "\\^" + cls.substring(1)
+            // a leading '-' is a LITERAL member per fnmatch; it stays
+            // literal after '[' or '[^', but prepending '/' below would
+            // turn it into the range '/-X' — escape it first
+            if (negated && cls.startsWith("-")) cls = "\\-" + cls.substring(1)
             sb += '['
             // a negated class stays within one path segment (like `*`/`?`
             // above and the JDK PathMatcher): [!b] must not match '/'

@@ -172,6 +172,10 @@ class GlobFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     // an unclosed '[' is literal — none of these may throw
     assert(m("a[]]b", "a]b") && !m("a[]]b", "axb"))
     assert(m("a[!x]b", "ayb") && !m("a[!x]b", "axb"))
+    assert(!m("a[!x]b", "a/b")) // negated class stays within one segment
+    // leading '-' is a literal member, also under negation (the emitted
+    // '[^/-...]' must NOT become the range '/'..'X')
+    assert(m("a[-x]b", "a-b") && m("a[!-x]b", "aZb") && !m("a[!-x]b", "a-b"))
     assert(m("a[!]b", "a[!]b")) // unclosed class → literal
     assert(m("lit[", "lit["))
     assert(!m("a[^x]b", "ayb") && m("a[^x]b", "a^b")) // '^' literal, not negation

@@ -248,7 +248,7 @@ object GlobProps extends Properties("GlobToRegex") {
     // "[]a]" (']' first = literal) is fnmatch-only: the JDK glob parser
     // rejects it, so it stays out of the shared-subset generator (our
     // handling is covered by the DocOpsSpec unit cases)
-    1 -> Gen.oneOf("[ab]", "[!b]", "[a-c]", "[-b]"))
+    1 -> Gen.oneOf("[ab]", "[!b]", "[a-c]", "[-b]", "[!-b]"))
 
   private val segment: Gen[String] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, token)).map(_.mkString)
