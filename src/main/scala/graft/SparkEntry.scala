@@ -514,6 +514,26 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("width"),
           col("height"), col("resized"))
     }),
+    "q_pdf_info" -> ((s, dir) => {
+      // byte-real get_pdf_info round-trip (same pattern as
+      // q_audio_features): deterministic per-doc PDFs from the minimal
+      // writer → full container parse (xref, page tree, Info dict) → facts
+      // whose every value the oracle reproduces arithmetically
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val n = 1 + (id % 5).toInt
+          val w = 300.0 + (id % 200)
+          val h = 400.0 + (id % 100)
+          val bytes = graft.extract.PdfBytes.buildPdf(
+            Seq.fill(n)((w, h)), s"doc-$id", s"author-${id % 7}")
+          Multimodal.MediaRow(id.toString, "doc.pdf", "application/pdf", bytes)
+        }
+      Multimodal.extractPdfInfo(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("page_count"),
+          col("is_encrypted"), col("width0"), col("height0"), col("title"),
+          col("author"), col("decode_error"))
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1075,6 +1095,17 @@ object SparkEntry {
       // selection set of the header-only min-size filter (see queries)
       """SELECT doc_id, 'img-0.png' AS media_ref FROM documents
         |WHERE doc_id % 50 >= 20 AND doc_id % 100 >= 10""".stripMargin,
+    "q_pdf_info" ->
+      // the writer's params are arithmetic in doc_id; the parse must
+      // recover them exactly (see queries)
+      """SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS page_count,
+        |  false AS is_encrypted,
+        |  CAST(300 + doc_id % 200 AS DOUBLE) AS width0,
+        |  CAST(400 + doc_id % 100 AS DOUBLE) AS height0,
+        |  'doc-' || doc_id AS title,
+        |  'author-' || (doc_id % 7) AS author,
+        |  '' AS decode_error
+        |FROM documents""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

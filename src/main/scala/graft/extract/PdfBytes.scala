@@ -1,0 +1,578 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Container-level PDF parsing from raw bytes — the byte-real analog of the
+  * reference's `get_pdf_info` (pdf_utils.py:187-256, which delegates to
+  * pypdf). From-scratch implementation of the public PDF 32000-1:2008 file
+  * structure (§7.3 objects, §7.5 xref/trailer), NOT a port: classic xref
+  * tables with /Prev chains, 1.5+ cross-reference STREAMS (FlateDecode with
+  * PNG predictors via the JDK Inflater) and object streams (/Type/ObjStm),
+  * page-tree walk with MediaBox inheritance, Info-dictionary text strings
+  * (UTF-16BE BOM else PDFDocEncoding≈Latin-1).
+  *
+  * No raster/content decoding happens here — this is O(file) byte scanning
+  * plus O(objects touched) parsing, a bounded per-row kernel safe to run in
+  * `mapPartitions` over a binary column at scale. Golden-tested against the
+  * reference's REAL fixture PDFs (tests/resources/pdf_sample*.pdf) with
+  * expected values established by the independent second implementation in
+  * `tools/pdf_info_oracle.py`.
+  */
+object PdfBytes {
+
+  // ------------------------------------------------------------ object model
+  sealed trait PObj
+  case object PNull extends PObj
+  final case class PBool(v: Boolean) extends PObj
+  final case class PNum(v: Double) extends PObj
+  final case class PStr(bytes: Array[Byte]) extends PObj
+  final case class PName(v: String) extends PObj
+  final case class PArr(items: Vector[PObj]) extends PObj
+  final case class PDict(m: Map[String, PObj]) extends PObj
+  final case class PRef(num: Int, gen: Int) extends PObj
+  /** Stream dict + RAW (still-encoded) payload bytes. */
+  final case class PStream(dict: PDict, data: Array[Byte]) extends PObj
+
+  final case class PageDim(width: Double, height: Double)
+  final case class PdfInfo(
+      pageCount: Int,
+      fileSize: Long,
+      isEncrypted: Boolean,
+      pageDims: Seq[PageDim],
+      title: String,
+      author: String)
+
+  private val WS = " \t\r\n\u0000\f".getBytes
+  private val Delim = "()<>[]{}/%".getBytes
+  private def isWs(b: Byte) = WS.contains(b)
+  private def isDelim(b: Byte) = Delim.contains(b)
+
+  // ------------------------------------------------------------ lexer/parser
+  /** Recursive-descent parser over the file buffer; `pos` is mutable. */
+  private final class Parser(val d: Array[Byte], var pos: Int) {
+
+    def skipWs(): Unit = {
+      while (pos < d.length) {
+        if (d(pos) == '%') { while (pos < d.length && d(pos) != '\r' && d(pos) != '\n') pos += 1 }
+        else if (isWs(d(pos))) pos += 1
+        else return
+      }
+    }
+
+    def peek: Int = if (pos < d.length) d(pos) & 0xff else -1
+
+    /** Reads a bare word (number, keyword). */
+    def word(): String = {
+      val start = pos
+      while (pos < d.length && !isWs(d(pos)) && !isDelim(d(pos))) pos += 1
+      new String(d, start, pos - start, StandardCharsets.ISO_8859_1)
+    }
+
+    def expect(s: String): Unit = {
+      skipWs()
+      val w = word()
+      if (w != s) throw new IllegalStateException(s"expected '$s' got '$w' at $pos")
+    }
+
+    def name(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (pos < d.length && !isWs(d(pos)) && !isDelim(d(pos))) {
+        if (d(pos) == '#' && pos + 2 < d.length) {
+          sb += Integer.parseInt(new String(d, pos + 1, 2, StandardCharsets.ISO_8859_1), 16).toChar
+          pos += 3
+        } else { sb += (d(pos) & 0xff).toChar; pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    def literalString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0 && pos < d.length) {
+        val c = d(pos); pos += 1
+        c match {
+          case '\\' =>
+            val e = d(pos); pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '\r' => if (pos < d.length && d(pos) == '\n') pos += 1
+              case '\n' => ()
+              case o if o >= '0' && o <= '7' =>
+                var v = o - '0'
+                var k = 1
+                while (k < 3 && pos < d.length && d(pos) >= '0' && d(pos) <= '7') {
+                  v = v * 8 + (d(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case other => out.write(other)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    def hexString(): PStr = {
+      pos += 1 // '<'
+      val sb = new StringBuilder
+      while (pos < d.length && d(pos) != '>') {
+        val c = (d(pos) & 0xff).toChar
+        if (!isWs(d(pos))) sb += c
+        pos += 1
+      }
+      pos += 1 // '>'
+      val hx = if (sb.length % 2 == 1) sb.toString + "0" else sb.toString
+      val out = new Array[Byte](hx.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      PStr(out)
+    }
+
+    /** One object; resolves `N G R` reference syntax via lookahead. */
+    def obj(): PObj = {
+      skipWs()
+      peek match {
+        case '/' => name()
+        case '(' => literalString()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          skipWs()
+          while (peek != ']') { items += obj(); skipWs() }
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < d.length && d(pos + 1) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PObj]
+            skipWs()
+            while (!(peek == '>' && pos + 1 < d.length && d(pos + 1) == '>')) {
+              val k = obj().asInstanceOf[PName].v
+              m += k -> obj()
+              skipWs()
+            }
+            pos += 2
+            PDict(m.result())
+          } else hexString()
+        case _ =>
+          val w = word()
+          w match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case _ if w.nonEmpty && w.forall(c => c.isDigit) =>
+              // possible "N G R" indirect reference
+              val save = pos
+              skipWs()
+              val w2 = word()
+              if (w2.nonEmpty && w2.forall(_.isDigit)) {
+                skipWs()
+                val w3 = word()
+                if (w3 == "R") return PRef(w.toInt, w2.toInt)
+              }
+              pos = save
+              PNum(w.toDouble)
+            case _ if w.nonEmpty => PNum(w.toDouble) // signed/real
+            case _ => throw new IllegalStateException(s"parse error at $pos")
+          }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ filters
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) throw new IllegalStateException("truncated flate data")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** PNG predictors (per RFC 2083 §6, referenced by PDF §7.4.4.4) over
+    * `columns` bytes/row — xref streams routinely use Predictor 12 (Up).
+    */
+  private def pngPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    val rowLen = columns
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var c = 0
+      while (c < rowLen) {
+        val raw = data(src + c) & 0xff
+        val left = if (c > 0) out(dst + c - 1) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) out(dst - rowLen + c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case other => throw new IllegalStateException(s"png filter $other")
+        }
+        out(dst + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ document
+  /** Either-style result so a bad file is a row-level failure, not a task
+    * failure (same error-channel contract as the media codecs).
+    */
+  def pdfInfo(data: Array[Byte]): Either[String, PdfInfo] =
+    try Right(parseInfo(data))
+    catch { case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private final class Doc(data: Array[Byte]) {
+    /** obj num → either a file offset (Left) or (objstm num, index) (Right). */
+    private val xref = mutable.Map[Int, Either[Long, (Int, Int)]]()
+    var trailer: Map[String, PObj] = Map.empty
+    private val cache = mutable.Map[Int, PObj]()
+
+    locally {
+      val sxAt = lastIndexOf(data, "startxref".getBytes)
+      if (sxAt < 0) throw new IllegalStateException("no startxref")
+      val p = new Parser(data, sxAt + "startxref".length)
+      p.skipWs()
+      var off = p.word().toLong
+      val seen = mutable.Set[Long]()
+      while (off > 0 && !seen.contains(off)) {
+        seen += off
+        off = readXrefSection(off.toInt)
+      }
+    }
+
+    private def lastIndexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+      var i = hay.length - needle.length
+      while (i >= 0) {
+        var j = 0
+        while (j < needle.length && hay(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i -= 1
+      }
+      -1
+    }
+
+    /** Reads one xref section (classic table or xref stream) at `off`;
+      * returns the /Prev offset or 0.
+      */
+    private def readXrefSection(off: Int): Long = {
+      val p = new Parser(data, off)
+      p.skipWs()
+      if (p.peek == 'x') { // classic: "xref" then subsections then "trailer"
+        p.expect("xref")
+        var done = false
+        while (!done) {
+          p.skipWs()
+          if (p.peek == 't') {
+            p.expect("trailer")
+            val tr = p.obj().asInstanceOf[PDict].m
+            tr.foreach { case (k, v) => if (!trailer.contains(k)) trailer += k -> v }
+            done = true
+          } else {
+            val start = p.word().toInt
+            p.skipWs()
+            val count = p.word().toInt
+            p.skipWs()
+            var n = 0
+            while (n < count) {
+              // fixed 20-byte entries: "oooooooooo ggggg n \r\n"
+              val entry = new String(data, p.pos, 20, StandardCharsets.ISO_8859_1)
+              p.pos += 20
+              val parts = entry.trim.split("\\s+")
+              if (parts.length >= 3 && parts(2) == "n")
+                xref.getOrElseUpdate(start + n, Left(parts(0).toLong))
+              n += 1
+            }
+          }
+        }
+        trailer.get("XRefStm") match { // hybrid-reference files
+          case Some(PNum(v)) => readXrefSection(v.toInt)
+          case _ => ()
+        }
+        trailer.get("Prev") match { case Some(PNum(v)) => v.toLong; case _ => 0L }
+      } else { // 1.5+ xref STREAM: "N G obj << /Type /XRef ... >> stream"
+        p.word(); p.skipWs(); p.word(); p.skipWs(); p.expect("obj")
+        val stream = parseStreamAt(p)
+        val dict = stream.dict.m
+        dict.foreach { case (k, v) => if (!trailer.contains(k)) trailer += k -> v }
+        val decoded = decode(stream)
+        val w = dict("W").asInstanceOf[PArr].items.map(_.asInstanceOf[PNum].v.toInt)
+        val size = dict("Size").asInstanceOf[PNum].v.toInt
+        val index: Seq[(Int, Int)] = dict.get("Index") match {
+          case Some(PArr(items)) =>
+            items.map(_.asInstanceOf[PNum].v.toInt).grouped(2).map(g => (g(0), g(1))).toSeq
+          case _ => Seq((0, size))
+        }
+        val rowLen = w.sum
+        var rowAt = 0
+        def field(row: Int, fi: Int): Long = {
+          var o = rowAt + w.take(fi).sum
+          var v = 0L
+          var k = 0
+          while (k < w(fi)) { v = (v << 8) | (decoded(o) & 0xffL); o += 1; k += 1 }
+          v
+        }
+        index.foreach { case (start, count) =>
+          var n = 0
+          while (n < count && rowAt + rowLen <= decoded.length) {
+            val ty = if (w(0) == 0) 1L else field(n, 0)
+            val f2 = field(n, 1)
+            val f3 = field(n, 2)
+            val num = start + n
+            if (!xref.contains(num)) ty match {
+              case 1 => xref += num -> Left(f2)
+              case 2 => xref += num -> Right((f2.toInt, f3.toInt))
+              case _ => () // free
+            }
+            rowAt += rowLen
+            n += 1
+          }
+        }
+        dict.get("Prev") match { case Some(PNum(v)) => v.toLong; case _ => 0L }
+      }
+    }
+
+    /** Parses `<< dict >> stream ... endstream` with the cursor after "obj". */
+    private def parseStreamAt(p: Parser): PStream = {
+      val dict = p.obj().asInstanceOf[PDict]
+      p.skipWs()
+      p.expect("stream")
+      if (p.peek == '\r') p.pos += 1
+      if (p.peek == '\n') p.pos += 1
+      val len = numOf(resolve(dict.m("Length"))).toInt
+      val payload = java.util.Arrays.copyOfRange(p.d, p.pos, p.pos + len)
+      PStream(dict, payload)
+    }
+
+    /** Applies /Filter (FlateDecode only — ASCIIHex etc. not needed for
+      * xref/ObjStm) + /DecodeParms predictors.
+      */
+    private def decode(s: PStream): Array[Byte] = {
+      val filters: Seq[String] = s.dict.m.get("Filter") match {
+        case Some(PName(n)) => Seq(n)
+        case Some(PArr(items)) => items.map(_.asInstanceOf[PName].v)
+        case None => Nil
+        case other => throw new IllegalStateException(s"filter $other")
+      }
+      var out = s.data
+      filters.foreach {
+        case "FlateDecode" =>
+          out = inflate(out)
+          s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP")) match {
+            case Some(dp: PDict) =>
+              val pred = dp.m.get("Predictor").map(v => numOf(v).toInt).getOrElse(1)
+              if (pred >= 10) {
+                val cols = dp.m.get("Columns").map(v => numOf(v).toInt).getOrElse(1)
+                out = pngPredict(out, cols)
+              } else if (pred != 1) throw new IllegalStateException(s"predictor $pred")
+            case _ => ()
+          }
+        case other => throw new IllegalStateException(s"unsupported filter $other")
+      }
+      out
+    }
+
+    private def numOf(o: PObj): Double = resolve(o) match {
+      case PNum(v) => v
+      case other => throw new IllegalStateException(s"expected number, got $other")
+    }
+
+    /** Resolves indirect references (with memoization); plain objects pass
+      * through. Depth-guarded against reference cycles.
+      */
+    def resolve(o: PObj, depth: Int = 0): PObj = o match {
+      case PRef(num, _) =>
+        if (depth > 32) throw new IllegalStateException("reference cycle")
+        resolve(loadObj(num), depth + 1)
+      case other => other
+    }
+
+    private def loadObj(num: Int): PObj = cache.getOrElseUpdate(num, {
+      xref.get(num) match {
+        case Some(Left(offset)) =>
+          val p = new Parser(data, offset.toInt)
+          p.skipWs(); p.word(); p.skipWs(); p.word(); p.skipWs(); p.expect("obj")
+          val o = p.obj()
+          p.skipWs()
+          if (p.peek == 's') { p.pos -= 0; parseStreamTail(p, o) } else o
+        case Some(Right((stmNum, idx))) =>
+          val stm = resolve(PRef(stmNum, 0)) match {
+            case s: PStream => s
+            case other => throw new IllegalStateException(s"objstm $stmNum is $other")
+          }
+          val decoded = decode(stm)
+          val n = numOf(stm.dict.m("N")).toInt
+          val first = numOf(stm.dict.m("First")).toInt
+          val hp = new Parser(decoded, 0)
+          var target = -1
+          var i = 0
+          while (i < n) {
+            hp.skipWs(); val on = hp.word().toInt
+            hp.skipWs(); val ooff = hp.word().toInt
+            if (i == idx) { target = ooff; if (on != num) () }
+            i += 1
+          }
+          if (target < 0) throw new IllegalStateException(s"objstm index $idx out of range")
+          new Parser(decoded, first + target).obj()
+        case None => PNull
+      }
+    })
+
+    /** If the object is followed by `stream`, attach its payload. */
+    private def parseStreamTail(p: Parser, o: PObj): PObj = o match {
+      case dict: PDict =>
+        val save = p.pos
+        p.skipWs()
+        val w = p.word()
+        if (w == "stream") {
+          if (p.peek == '\r') p.pos += 1
+          if (p.peek == '\n') p.pos += 1
+          val len = numOf(resolve(dict.m("Length"))).toInt
+          PStream(dict, java.util.Arrays.copyOfRange(p.d, p.pos, p.pos + len))
+        } else { p.pos = save; dict }
+      case other => other
+    }
+
+    def dict(o: PObj): Map[String, PObj] = resolve(o) match {
+      case PDict(m) => m
+      case PStream(PDict(m), _) => m
+      case PNull => Map.empty
+      case other => throw new IllegalStateException(s"expected dict, got $other")
+    }
+  }
+
+  /** PDF text string → java String (§7.9.2.2): UTF-16BE with BOM, else
+    * UTF-8 with BOM (PDF 2.0), else PDFDocEncoding (≈ Latin-1 for the
+    * printable range — the same approximation pypdf applies).
+    */
+  def decodeTextString(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+    else new String(bytes, StandardCharsets.ISO_8859_1)
+
+  private def parseInfo(data: Array[Byte]): PdfInfo = {
+    val doc = new Doc(data)
+    val isEncrypted = doc.trailer.contains("Encrypt")
+    if (isEncrypted) {
+      // reference behavior for truly-encrypted files (pdf_utils.py:217-225):
+      // basic info only. (String/stream decryption is out of scope — the
+      // page tree itself is parseable, but parity chooses the same shape.)
+      return PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
+    }
+    val root = doc.dict(doc.trailer("Root"))
+    val dims = Vector.newBuilder[PageDim]
+    var count = 0
+    val visited = mutable.Set[PObj]()
+    def walk(node: PObj, inheritedMb: Option[PObj]): Unit = {
+      if (!visited.add(node)) throw new IllegalStateException("page tree cycle")
+      val m = doc.dict(node)
+      val mb = m.get("MediaBox").orElse(inheritedMb)
+      m.get("Type") match {
+        case Some(PName("Page")) =>
+          count += 1
+          val box = doc.resolve(mb.getOrElse(throw new IllegalStateException("page without MediaBox")))
+          val nums = box.asInstanceOf[PArr].items.map(v =>
+            doc.resolve(v).asInstanceOf[PNum].v)
+          dims += PageDim(math.abs(nums(2) - nums(0)), math.abs(nums(3) - nums(1)))
+        case _ =>
+          doc.resolve(m.getOrElse("Kids", PArr(Vector.empty))) match {
+            case PArr(kids) => kids.foreach(walk(_, mb))
+            case _ => ()
+          }
+      }
+    }
+    walk(root("Pages"), None)
+    val info = doc.trailer.get("Info").map(doc.dict).getOrElse(Map.empty)
+    def text(key: String): String = info.get(key).map(doc.resolve(_)) match {
+      case Some(PStr(b)) => decodeTextString(b)
+      case _ => ""
+    }
+    PdfInfo(count, data.length.toLong, isEncrypted = false, dims.result(), text("Title"), text("Author"))
+  }
+
+  // ------------------------------------------------------------ writer
+  /** Minimal deterministic PDF writer (classic xref, one empty content
+    * stream per page) — the encode side of the round-trip fixtures, same
+    * pattern as `WavCodec.encodeWav`. Strings are written as literals with
+    * the required escapes; non-Latin-1 titles get the UTF-16BE BOM form.
+    */
+  def buildPdf(pages: Seq[(Double, Double)], title: String, author: String): Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = mutable.ArrayBuffer[Int]()
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+
+    def fmt(v: Double): String =
+      if (v == math.rint(v)) v.toLong.toString else v.toString
+    def pdfString(s: String): String = {
+      val needsUtf16 = s.exists(_ > 0xff)
+      if (needsUtf16) {
+        val bytes = s.getBytes(StandardCharsets.UTF_16BE)
+        "<FEFF" + bytes.map(b => f"${b & 0xff}%02X").mkString + ">"
+      } else
+        "(" + s.flatMap {
+          case '(' => "\\("
+          case ')' => "\\)"
+          case '\\' => "\\\\"
+          case c => c.toString
+        } + ")"
+    }
+
+    w("%PDF-1.4\n")
+    val nPages = pages.length
+    // object numbering: 1 = Catalog, 2 = Pages, 3..(2+n) = Page, then one
+    // shared empty content stream, then Info
+    val contentNum = 3 + nPages
+    val infoNum = contentNum + 1
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w(s"<< /Type /Pages /Count $nPages /Kids [ ${(0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")} ] >>\nendobj\n")
+    pages.zipWithIndex.foreach { case ((pw, ph), i) =>
+      beginObj(3 + i)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${fmt(pw)} ${fmt(ph)} ] /Contents $contentNum 0 R >>\nendobj\n")
+    }
+    beginObj(contentNum); w("<< /Length 0 >>\nstream\n\nendstream\nendobj\n")
+    beginObj(infoNum)
+    w(s"<< /Title ${pdfString(title)} /Author ${pdfString(author)} >>\nendobj\n")
+    val xrefAt = out.size()
+    val n = offsets.length + 1
+    w(s"xref\n0 $n\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $n /Root 1 0 R /Info $infoNum 0 R >>\nstartxref\n$xrefAt\n"); w("%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -504,6 +504,48 @@ object Multimodal {
     }
   }
 
+  /** One row of container-level PDF facts (get_pdf_info analog over real
+    * bytes — [[graft.extract.PdfBytes]]); decode_error carries parse
+    * failures as row data, never task failures.
+    */
+  final case class PdfInfoRow(
+      doc_id: String,
+      media_ref: String,
+      byte_len: Int,
+      page_count: Int,
+      is_encrypted: Boolean,
+      width0: Double,
+      height0: Double,
+      title: String,
+      author: String,
+      decode_error: String)
+
+  /** Byte-real `get_pdf_info` over a media table (pdf_utils.py:187-256):
+    * page count via the page tree, first-page dims, Info-dict
+    * title/author, /Encrypt flag — same batched mapPartitions shape and
+    * error channel as [[extractFeatures]]/[[extractAudioFeatures]]. O(file)
+    * per row, no content decoding.
+    */
+  def extractPdfInfo(media: Dataset[MediaRow]): Dataset[PdfInfoRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = if (r.content == null) 0 else r.content.length
+        graft.extract.PdfBytes.pdfInfo(if (r.content == null) Array.emptyByteArray else r.content) match {
+          case Right(info) =>
+            val (w0, h0) = info.pageDims.headOption
+              .map(d => (d.width, d.height)).getOrElse((0.0, 0.0))
+            PdfInfoRow(r.doc_id, r.media_ref, len, info.pageCount,
+              info.isEncrypted, w0, h0, info.title, info.author, "")
+          case Left(err) =>
+            PdfInfoRow(r.doc_id, r.media_ref, len, 0, is_encrypted = false,
+              0.0, 0.0, "", "", err)
+        }
+      }
+    }
+  }
+
   /** Deterministic ASCII-safe payload bytes for documents-derived media —
     * THE single definition of the convention shared by
     * [[docDerivedMediaTable]], `SparkEntry.docsFromDocuments`, and the SQL
