@@ -519,14 +519,22 @@ object SparkEntry {
       // q_audio_features): deterministic per-doc PDFs from the minimal
       // writer → full container parse (xref, page tree, Info dict) → facts
       // whose every value the oracle reproduces arithmetically
+      // crypto coverage rides the same row: id%7==3 docs are locked with a
+      // real password (parse w/o password → the reference's basic encrypted
+      // shape), other id%5==2 docs are empty-user-password RC4-128 (must
+      // open FULLY — the pdf_utils.py:212-215 owner-locked case)
       import s.implicits._
       val media = tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].map { id =>
           val n = 1 + (id % 5).toInt
           val w = 300.0 + (id % 200)
           val h = 400.0 + (id % 100)
+          val encryptWith =
+            if (id % 7 == 3) Some(("locked", 3))
+            else if (id % 5 == 2) Some(("", 3))
+            else None
           val bytes = graft.extract.PdfBytes.buildPdf(
-            Seq.fill(n)((w, h)), s"doc-$id", s"author-${id % 7}")
+            Seq.fill(n)((w, h)), s"doc-$id", s"author-${id % 7}", encryptWith)
           Multimodal.MediaRow(id.toString, "doc.pdf", "application/pdf", bytes)
         }
       Multimodal.extractPdfInfo(media)
@@ -1097,15 +1105,18 @@ object SparkEntry {
         |WHERE doc_id % 50 >= 20 AND doc_id % 100 >= 10""".stripMargin,
     "q_pdf_info" ->
       // the writer's params are arithmetic in doc_id; the parse must
-      // recover them exactly (see queries)
-      """SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS page_count,
-        |  false AS is_encrypted,
-        |  CAST(300 + doc_id % 200 AS DOUBLE) AS width0,
-        |  CAST(400 + doc_id % 100 AS DOUBLE) AS height0,
-        |  'doc-' || doc_id AS title,
-        |  'author-' || (doc_id % 7) AS author,
+      // recover them exactly. locked (id%7=3) docs collapse to the basic
+      // encrypted shape; empty-password docs (id%5=2) read as plaintext
+      """WITH d AS (SELECT doc_id, doc_id % 7 = 3 AS locked FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN locked THEN 0 ELSE 1 + doc_id % 5 END AS INT) AS page_count,
+        |  locked AS is_encrypted,
+        |  CAST(CASE WHEN locked THEN 0 ELSE 300 + doc_id % 200 END AS DOUBLE) AS width0,
+        |  CAST(CASE WHEN locked THEN 0 ELSE 400 + doc_id % 100 END AS DOUBLE) AS height0,
+        |  CASE WHEN locked THEN '' ELSE 'doc-' || doc_id END AS title,
+        |  CASE WHEN locked THEN '' ELSE 'author-' || (doc_id % 7) END AS author,
         |  '' AS decode_error
-        |FROM documents""".stripMargin,
+        |FROM d""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

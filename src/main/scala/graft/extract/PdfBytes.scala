@@ -248,8 +248,8 @@ object PdfBytes {
   /** Either-style result so a bad file is a row-level failure, not a task
     * failure (same error-channel contract as the media codecs).
     */
-  def pdfInfo(data: Array[Byte]): Either[String, PdfInfo] =
-    try Right(parseInfo(data))
+  def pdfInfo(data: Array[Byte], password: Option[String] = None): Either[String, PdfInfo] =
+    try Right(parseInfo(data, password))
     catch { case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
   private final class Doc(data: Array[Byte]) {
@@ -482,14 +482,53 @@ object PdfBytes {
       new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
     else new String(bytes, StandardCharsets.ISO_8859_1)
 
-  private def parseInfo(data: Array[Byte]): PdfInfo = {
+  private def parseInfo(data: Array[Byte], password: Option[String]): PdfInfo = {
     val doc = new Doc(data)
-    val isEncrypted = doc.trailer.contains("Encrypt")
-    if (isEncrypted) {
-      // reference behavior for truly-encrypted files (pdf_utils.py:217-225):
-      // basic info only. (String/stream decryption is out of scope — the
-      // page tree itself is parseable, but parity chooses the same shape.)
-      return PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
+    // Standard-handler RC4 (V=1/2): verify the user password (provided one,
+    // else empty) per PdfCrypt and carry the file key for string
+    // decryption. The reference's semantics (pdf_utils.py:205-225): a
+    // successfully-opened document reports is_encrypted=false; a wrong
+    // provided password raises; a truly-locked document (empty password
+    // fails, none provided) yields the basic encrypted shape. Non-RC4
+    // handlers (AES V=4/5) take the basic shape — documented non-goal.
+    val fileKey: Option[Array[Byte]] = doc.trailer.get("Encrypt") match {
+      case None => None
+      case Some(encRef) =>
+        val enc = doc.dict(encRef)
+        def num(k: String, dflt: Double): Double = enc.get(k).map(doc.resolve(_)) match {
+          case Some(PNum(v)) => v
+          case _ => dflt
+        }
+        val v = num("V", 0).toInt
+        val basic = PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
+        if (!(enc.get("Filter").contains(PName("Standard")) && (v == 1 || v == 2)))
+          return basic
+        val o = doc.resolve(enc("O")).asInstanceOf[PStr].bytes
+        val u = doc.resolve(enc("U")).asInstanceOf[PStr].bytes
+        val p = num("P", -1).toInt
+        val r = num("R", 2).toInt
+        val keyLen = if (v == 1) 5 else num("Length", 40).toInt / 8
+        val encryptMetadata = enc.get("EncryptMetadata").map(doc.resolve(_)) match {
+          case Some(PBool(b)) => b
+          case _ => true
+        }
+        val id0 = doc.trailer.get("ID").map(doc.resolve(_)) match {
+          case Some(PArr(items)) if items.nonEmpty =>
+            doc.resolve(items.head).asInstanceOf[PStr].bytes
+          case _ => Array.emptyByteArray
+        }
+        def verify(pw: Array[Byte]) =
+          PdfCrypt.verifyUserPassword(pw, o, u, p, id0, r, keyLen, encryptMetadata)
+        password match {
+          case Some(pw) =>
+            verify(pw.getBytes(StandardCharsets.ISO_8859_1)).orElse(
+              throw new IllegalStateException("Incorrect password for encrypted PDF"))
+          case None =>
+            verify(Array.emptyByteArray) match {
+              case some @ Some(_) => some // empty-password docs open as not-encrypted
+              case None => return basic
+            }
+        }
     }
     val root = doc.dict(doc.trailer("Root"))
     val dims = Vector.newBuilder[PageDim]
@@ -514,9 +553,20 @@ object PdfBytes {
       }
     }
     walk(root("Pages"), None)
-    val info = doc.trailer.get("Info").map(doc.dict).getOrElse(Map.empty)
+    val infoRef = doc.trailer.get("Info")
+    val info = infoRef.map(doc.dict).getOrElse(Map.empty)
+    // strings are encrypted with the per-OBJECT key of their carrier
+    val (infoNum, infoGen) = infoRef match {
+      case Some(PRef(n, g)) => (n, g)
+      case _ => (0, 0)
+    }
     def text(key: String): String = info.get(key).map(doc.resolve(_)) match {
-      case Some(PStr(b)) => decodeTextString(b)
+      case Some(PStr(b)) =>
+        val plain = fileKey match {
+          case Some(k) => PdfCrypt.decryptString(k, infoNum, infoGen, b)
+          case None => b
+        }
+        decodeTextString(plain)
       case _ => ""
     }
     PdfInfo(count, data.length.toLong, isEncrypted = false, dims.result(), text("Title"), text("Author"))
@@ -528,7 +578,19 @@ object PdfBytes {
     * pattern as `WavCodec.encodeWav`. Strings are written as literals with
     * the required escapes; non-Latin-1 titles get the UTF-16BE BOM form.
     */
-  def buildPdf(pages: Seq[(Double, Double)], title: String, author: String): Array[Byte] = {
+  def buildPdf(pages: Seq[(Double, Double)], title: String, author: String): Array[Byte] =
+    buildPdf(pages, title, author, None)
+
+  /** `encryptWith = Some((userPassword, r))` (r = 2 → RC4-40/V1, r = 3 →
+    * RC4-128/V2) emits the Standard-handler /Encrypt dict with O/U entries
+    * from `PdfCrypt` and RC4-encrypts the Info strings — the encode side of
+    * the decryption round-trip tests.
+    */
+  def buildPdf(
+      pages: Seq[(Double, Double)],
+      title: String,
+      author: String,
+      encryptWith: Option[(String, Int)]): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -551,12 +613,36 @@ object PdfBytes {
         } + ")"
     }
 
+    // encryption state (RC4 standard handler) when requested
+    val enc = encryptWith.map { case (userPwd, r) =>
+      val pw = userPwd.getBytes(StandardCharsets.ISO_8859_1)
+      val keyLen = if (r == 2) 5 else 16
+      val id0 = PdfCrypt.md5(s"$title/$author/${pages.length}".getBytes(StandardCharsets.UTF_8))
+      val oEntry = PdfCrypt.computeO(pw, pw, r, keyLen)
+      val perm = -44
+      val key = PdfCrypt.fileKey(pw, oEntry, perm, id0, r, keyLen)
+      val uRaw = PdfCrypt.computeU(key, id0, r)
+      val uEntry = if (r == 2) uRaw else uRaw ++ new Array[Byte](16) // pad to 32
+      (key, id0, oEntry, uEntry, perm, r)
+    }
+    def hex(b: Array[Byte]): String = "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+    def textStringBytes(s: String): Array[Byte] =
+      if (s.exists(_ > 0xff)) Array(0xfe.toByte, 0xff.toByte) ++ s.getBytes(StandardCharsets.UTF_16BE)
+      else s.getBytes(StandardCharsets.ISO_8859_1)
+    /** Info strings: encrypted → RC4 under the carrier object's key, hex. */
+    def infoString(s: String, objNum: Int): String = enc match {
+      case Some((key, _, _, _, _, _)) =>
+        hex(PdfCrypt.encryptString(key, objNum, 0, textStringBytes(s)))
+      case None => pdfString(s)
+    }
+
     w("%PDF-1.4\n")
     val nPages = pages.length
     // object numbering: 1 = Catalog, 2 = Pages, 3..(2+n) = Page, then one
-    // shared empty content stream, then Info
+    // shared empty content stream, then Info (then Encrypt when present)
     val contentNum = 3 + nPages
     val infoNum = contentNum + 1
+    val encNum = infoNum + 1
     beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     beginObj(2)
     w(s"<< /Type /Pages /Count $nPages /Kids [ ${(0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")} ] >>\nendobj\n")
@@ -566,13 +652,22 @@ object PdfBytes {
     }
     beginObj(contentNum); w("<< /Length 0 >>\nstream\n\nendstream\nendobj\n")
     beginObj(infoNum)
-    w(s"<< /Title ${pdfString(title)} /Author ${pdfString(author)} >>\nendobj\n")
+    w(s"<< /Title ${infoString(title, infoNum)} /Author ${infoString(author, infoNum)} >>\nendobj\n")
+    enc.foreach { case (_, _, oEntry, uEntry, perm, r) =>
+      beginObj(encNum)
+      val vLen = if (r == 2) "/V 1" else "/V 2 /Length 128"
+      w(s"<< /Filter /Standard $vLen /R $r /O ${hex(oEntry)} /U ${hex(uEntry)} /P $perm >>\nendobj\n")
+    }
     val xrefAt = out.size()
     val n = offsets.length + 1
     w(s"xref\n0 $n\n")
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size $n /Root 1 0 R /Info $infoNum 0 R >>\nstartxref\n$xrefAt\n"); w("%%EOF\n")
+    val encTrailer = enc match {
+      case Some((_, id0, _, _, _, _)) => s" /Encrypt $encNum 0 R /ID [ ${hex(id0)} ${hex(id0)} ]"
+      case None => ""
+    }
+    w(s"trailer\n<< /Size $n /Root 1 0 R /Info $infoNum 0 R$encTrailer >>\nstartxref\n$xrefAt\n"); w("%%EOF\n")
     out.toByteArray
   }
 }

@@ -77,6 +77,43 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(PdfBytes.pdfInfo(good.take(good.length - 30)).isLeft)
   }
 
+  test("RC4 matches the published test vectors") {
+    import graft.extract.PdfCrypt.rc4
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    assert(hx(rc4("Key".getBytes, "Plaintext".getBytes)) == "BBF316E8D940AF0AD3")
+    assert(hx(rc4("Wiki".getBytes, "pedia".getBytes)) == "1021BF0420")
+    assert(hx(rc4("Secret".getBytes, "Attack at dawn".getBytes)) == "45A01F645FC35B383552544B9BF5")
+  }
+
+  test("empty-user-password RC4 PDFs open as not-encrypted (R=2 and R=3)") {
+    // the pdf_utils.py:212-215 behavior: many PDFs are owner-locked with an
+    // empty user password; get_pdf_info must read them fully
+    for (r <- Seq(2, 3)) {
+      val bytes = PdfBytes.buildPdf(Seq((200.0, 300.0), (200.0, 300.0)),
+        s"enc-title-$r", s"enc-author-$r", Some(("", r)))
+      val info = PdfBytes.pdfInfo(bytes).fold(e => fail(s"r=$r: $e"), identity)
+      assert(!info.isEncrypted, s"r=$r")
+      assert(info.pageCount == 2)
+      assert(info.pageDims.head == PdfBytes.PageDim(200.0, 300.0))
+      assert(info.title == s"enc-title-$r" && info.author == s"enc-author-$r")
+    }
+  }
+
+  test("password-protected PDFs: correct password opens, wrong raises, none gives basic shape") {
+    val bytes = PdfBytes.buildPdf(Seq((100.0, 100.0)), "secret title", "secret author",
+      Some(("hunter2", 3)))
+    // no password → truly-encrypted basic shape
+    val locked = PdfBytes.pdfInfo(bytes).fold(e => fail(e), identity)
+    assert(locked.isEncrypted && locked.pageCount == 0 && locked.title == "")
+    // correct password → full info, UTF-16/latin-1 strings decrypted
+    val open = PdfBytes.pdfInfo(bytes, Some("hunter2")).fold(e => fail(e), identity)
+    assert(!open.isEncrypted && open.pageCount == 1)
+    assert(open.title == "secret title" && open.author == "secret author")
+    // wrong password → Left mentioning the password (reference raises ValueError)
+    val err = PdfBytes.pdfInfo(bytes, Some("wrong")).left.getOrElse(fail("expected Left"))
+    assert(err.contains("Incorrect password"))
+  }
+
   test("encrypted trailer returns the reference's basic-info shape") {
     // synthesize: take a built pdf and splice /Encrypt into the trailer
     val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")
