@@ -92,4 +92,12 @@ object Graft {
     */
   def exportToDirectory(docs: Dataset[Doc], baseDir: String): Unit =
     ops.DocOps.exportToDirectory(docs, baseDir)
+
+  /** `pdf_utils.get_pdf_info` over raw bytes (container-level: page tree,
+    * dims, Info dict, Standard-handler RC4 password semantics —
+    * [[graft.extract.PdfBytes]]). Left = parse error / incorrect password,
+    * mirroring the reference's ValueError.
+    */
+  def pdfInfo(data: Array[Byte], password: Option[String] = None): Either[String, extract.PdfBytes.PdfInfo] =
+    extract.PdfBytes.pdfInfo(data, password)
 }

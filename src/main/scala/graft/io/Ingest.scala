@@ -273,6 +273,12 @@ object Ingest {
       case "text/markdown" | "text/plain" | "text/x-rst" | "text/x-org" =>
         val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         RawDoc(relPath, detectDialect(text), mime, text, Nil, Nil, source_path = relPath)
+      case "application/pdf" =>
+        // container-level PDF route (Pipeline.extractPdfOne): Latin-1
+        // round-trips the binary payload through RawDoc's text column
+        RawDoc(relPath, "pdf_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on

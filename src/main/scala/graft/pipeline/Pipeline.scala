@@ -73,6 +73,7 @@ object Pipeline {
     */
   def extractOne(r: RawDoc): ExtractOut =
     try {
+      if (r.payload_kind == "pdf_bytes") return extractPdfOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -120,6 +121,39 @@ object Pipeline {
       case e: Exception =>
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+
+  /** Structure-only extraction for ingested PDF bytes ([[graft.extract
+    * .PdfBytes]] container parse; the Latin-1 string round-trips the raw
+    * bytes exactly). Content extraction needs OCR/layout ML the reference
+    * delegates to external services — out of scope by design — but the
+    * structure is REAL: page count (one page_break span per page, so the
+    * span-level pageCount convention agrees), Info-dict title, dims and the
+    * encryption flag in metadata. A locked PDF is a successful row with
+    * page_count 0 (the reference's basic encrypted shape); a corrupt one is
+    * a failure row.
+    */
+  private def extractPdfOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.PdfBytes.pdfInfo(bytes) match {
+      case Right(info) =>
+        val spans = (1 to info.pageCount).map(i =>
+          Span(graft.model.SpanKind.PageBreak, s"""{"next_page":$i}""", "", i - 1))
+        val name = r.source_path.substring(r.source_path.lastIndexOf('/') + 1)
+        val stem =
+          if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
+        val metadata = Map(
+          "pdf_file_size" -> info.fileSize.toString,
+          "pdf_encrypted" -> info.isEncrypted.toString) ++
+          info.pageDims.headOption.map(d => Map(
+            "pdf_width0" -> d.width.toString,
+            "pdf_height0" -> d.height.toString)).getOrElse(Map.empty)
+        ExtractOut(r.doc_id, spans, r.mime_type, info.pageCount, "",
+          title = if (info.title.nonEmpty) info.title else stem,
+          source_path = r.source_path, media = Nil, metadata = metadata)
+      case Left(err) =>
+        ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
 
   /** The extract stage. `repartitionTo` forces uniform task sizing before the
     * heavy map — on a cluster this is the explicit shuffle that breaks up

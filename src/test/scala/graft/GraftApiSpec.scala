@@ -67,6 +67,19 @@ class GraftApiSpec extends AnyFunSuite {
     assert(content.contains("docler:page_break"))
   }
 
+  test("convertFile on a REAL reference PDF: container structure, no failure row") {
+    val fixture = "/root/reference/tests/resources/pdf_sample.pdf"
+    assume(new java.io.File(fixture).exists(), "reference fixtures not present")
+    val doc = Graft.convertFile(spark, fixture)
+    assert(doc.page_count == 4)
+    assert(doc.spans.count(_.kind == SpanKind.PageBreak) == 4)
+    assert(doc.title == "pdf_sample") // Info dict has no /Title → filename stem
+    assert(doc.mime_type == "application/pdf")
+    assert(doc.metadata("pdf_file_size") == "142786")
+    assert(doc.metadata("pdf_width0") == "595.0" && doc.metadata("pdf_height0") == "842.0")
+    assert(doc.metadata("pdf_encrypted") == "false")
+  }
+
   test("a façade doc parses back span-for-span (export → Markdown.parse)") {
     val doc = Graft.convertFile(spark, base.resolve("a/report.md").toString)
     val rendered = graft.md.Markdown.render(doc.spans)

@@ -33,7 +33,9 @@ class IngestSpec extends AnyFunSuite {
     val md = Ingest.toRawDoc("b/notes.md", "# T\n\nbody".getBytes("UTF-8"))
     assert(md.payload_kind == "md_plain" && md.mime_type == "text/markdown")
     val pdf = Ingest.toRawDoc("c/file.pdf", Array[Byte](0x25, 0x50, 0x44, 0x46))
-    assert(pdf.payload_kind == "unsupported:application/pdf")
+    assert(pdf.payload_kind == "pdf_bytes") // container route (PdfBytes)
+    val exe = Ingest.toRawDoc("c/tool.exe", Array[Byte](0x4d, 0x5a))
+    assert(exe.payload_kind == "unsupported:application/octet-stream")
     // guessMime parity on the edge shapes
     assert(Ingest.mimeOf("notes.md.") == "application/octet-stream")
     assert(Ingest.mimeOf("v1.2/README") == "application/octet-stream")
@@ -114,9 +116,10 @@ class IngestSpec extends AnyFunSuite {
     assert(q1.spans.head.kind == SpanKind.PageBreak)
     // slides dialect
     assert(out("reports/deck.md").spans.count(_.kind == SpanKind.PageBreak) == 2)
-    // unsupported binary surfaces as a failure row, not a crash
+    // a CORRUPT pdf surfaces as a parse-error failure row, not a crash
+    // (real PDFs take the PdfBytes container route — GraftApiSpec covers it)
     val pdf = out("bin/scan.pdf")
-    assert(pdf.failure.contains("unsupported"), pdf.failure)
+    assert(pdf.failure.contains("pdf_parse_error"), pdf.failure)
   }
 
   test("distributed listing: top-level files, maxDepth pruning, single-file base") {
