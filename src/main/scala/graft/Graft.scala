@@ -100,4 +100,16 @@ object Graft {
     */
   def pdfInfo(data: Array[Byte], password: Option[String] = None): Either[String, extract.PdfBytes.PdfInfo] =
     extract.PdfBytes.pdfInfo(data, password)
+
+  /** `pdf_utils.extract_pdf_pages`: keep the 0-based page indices, re-emit
+    * a standalone PDF (object-closure copy — [[graft.extract.PdfRewrite]]).
+    */
+  def extractPdfPages(data: Array[Byte], keep: Seq[Int], password: Option[String] = None): Either[String, Array[Byte]] =
+    extract.PdfRewrite.extractPages(data, keep, password)
+
+  /** `pdf_utils.decrypt_pdf`: unencrypted bytes pass through unchanged;
+    * RC4-encrypted documents re-emit decrypted; wrong password is a Left.
+    */
+  def decryptPdf(data: Array[Byte], password: String): Either[String, Array[Byte]] =
+    extract.PdfRewrite.decryptPdf(data, password)
 }

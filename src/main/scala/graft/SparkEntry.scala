@@ -542,6 +542,27 @@ object SparkEntry {
           col("is_encrypted"), col("width0"), col("height0"), col("title"),
           col("author"), col("decode_error"))
     }),
+    "q_pdf_pages" -> ((s, dir) => {
+      // byte-level extract_pdf_pages: per-doc PDFs with per-page widths
+      // (w = 300 + id%200 + pageIndex), keep the (last, first) pair via the
+      // object-closure re-writer, reparse — the oracle recovers both
+      // widths arithmetically. Locked/encrypted docs are exercised by
+      // q_pdf_info; this drives the rewrite+reparse cycle.
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val n = 1 + (id % 5).toInt
+          val pages = (0 until n).map(i => (300.0 + (id % 200) + i, 400.0 + (id % 100)))
+          val src = graft.extract.PdfBytes.buildPdf(pages, s"doc-$id", "a")
+          val sub = graft.extract.PdfRewrite.extractPages(src, Seq(n - 1, 0))
+            .fold(e => throw new IllegalStateException(e), identity)
+          val info = graft.extract.PdfBytes.pdfInfo(sub)
+            .fold(e => throw new IllegalStateException(e), identity)
+          (id, info.pageCount, info.pageDims(0).width, info.pageDims(1).width,
+            info.pageDims(0).height)
+        }
+        .toDF("doc_id", "page_count", "width0", "width1", "height0")
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1117,6 +1138,13 @@ object SparkEntry {
         |  CASE WHEN locked THEN '' ELSE 'author-' || (doc_id % 7) END AS author,
         |  '' AS decode_error
         |FROM d""".stripMargin,
+    "q_pdf_pages" ->
+      // keep order (last, first): width0 carries the last page's width
+      """SELECT doc_id, CAST(2 AS INT) AS page_count,
+        |  CAST(300 + doc_id % 200 + doc_id % 5 AS DOUBLE) AS width0,
+        |  CAST(300 + doc_id % 200 AS DOUBLE) AS width1,
+        |  CAST(400 + doc_id % 100 AS DOUBLE) AS height0
+        |FROM documents""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

@@ -252,7 +252,7 @@ object PdfBytes {
     try Right(parseInfo(data, password))
     catch { case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
-  private final class Doc(data: Array[Byte]) {
+  private[extract] final class Doc(data: Array[Byte]) {
     /** obj num → either a file offset (Left) or (objstm num, index) (Right). */
     private val xref = mutable.Map[Int, Either[Long, (Int, Int)]]()
     var trailer: Map[String, PObj] = Map.empty
@@ -463,6 +463,11 @@ object PdfBytes {
       case other => other
     }
 
+    /** The object body at `num` WITHOUT resolving nested references — the
+      * copy unit for [[PdfRewrite]].
+      */
+    private[extract] def rawObject(num: Int): PObj = loadObj(num)
+
     def dict(o: PObj): Map[String, PObj] = resolve(o) match {
       case PDict(m) => m
       case PStream(PDict(m), _) => m
@@ -482,17 +487,22 @@ object PdfBytes {
       new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
     else new String(bytes, StandardCharsets.ISO_8859_1)
 
-  private def parseInfo(data: Array[Byte], password: Option[String]): PdfInfo = {
-    val doc = new Doc(data)
-    // Standard-handler RC4 (V=1/2): verify the user password (provided one,
-    // else empty) per PdfCrypt and carry the file key for string
-    // decryption. The reference's semantics (pdf_utils.py:205-225): a
-    // successfully-opened document reports is_encrypted=false; a wrong
-    // provided password raises; a truly-locked document (empty password
-    // fails, none provided) yields the basic encrypted shape. Non-RC4
-    // handlers (AES V=4/5) take the basic shape — documented non-goal.
-    val fileKey: Option[Array[Byte]] = doc.trailer.get("Encrypt") match {
-      case None => None
+  private[extract] sealed trait KeyResult
+  private[extract] case object NotEncrypted extends KeyResult
+  /** empty password failed and none was provided */
+  private[extract] case object Locked extends KeyResult
+  /** AES V=4/5 etc. — documented non-goal */
+  private[extract] case object UnsupportedHandler extends KeyResult
+  private[extract] final case class Opened(key: Array[Byte]) extends KeyResult
+
+  /** Standard-handler RC4 (V=1/2) password resolution — the reference's
+    * semantics (pdf_utils.py:205-225): a provided password verifies or
+    * THROWS "Incorrect password"; otherwise the empty user password is
+    * tried (the owner-locked case).
+    */
+  private[extract] def encryptionKey(doc: Doc, password: Option[String]): KeyResult =
+    doc.trailer.get("Encrypt") match {
+      case None => NotEncrypted
       case Some(encRef) =>
         val enc = doc.dict(encRef)
         def num(k: String, dflt: Double): Double = enc.get(k).map(doc.resolve(_)) match {
@@ -500,9 +510,8 @@ object PdfBytes {
           case _ => dflt
         }
         val v = num("V", 0).toInt
-        val basic = PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
         if (!(enc.get("Filter").contains(PName("Standard")) && (v == 1 || v == 2)))
-          return basic
+          return UnsupportedHandler
         val o = doc.resolve(enc("O")).asInstanceOf[PStr].bytes
         val u = doc.resolve(enc("U")).asInstanceOf[PStr].bytes
         val p = num("P", -1).toInt
@@ -521,14 +530,26 @@ object PdfBytes {
           PdfCrypt.verifyUserPassword(pw, o, u, p, id0, r, keyLen, encryptMetadata)
         password match {
           case Some(pw) =>
-            verify(pw.getBytes(StandardCharsets.ISO_8859_1)).orElse(
-              throw new IllegalStateException("Incorrect password for encrypted PDF"))
+            verify(pw.getBytes(StandardCharsets.ISO_8859_1)) match {
+              case Some(k) => Opened(k)
+              case None => throw new IllegalStateException("Incorrect password for encrypted PDF")
+            }
           case None =>
             verify(Array.emptyByteArray) match {
-              case some @ Some(_) => some // empty-password docs open as not-encrypted
-              case None => return basic
+              case Some(k) => Opened(k) // empty-password docs open as not-encrypted
+              case None => Locked
             }
         }
+    }
+
+  private def parseInfo(data: Array[Byte], password: Option[String]): PdfInfo = {
+    val doc = new Doc(data)
+    val fileKey: Option[Array[Byte]] = encryptionKey(doc, password) match {
+      case NotEncrypted => None
+      case Opened(k) => Some(k)
+      case Locked | UnsupportedHandler =>
+        // the reference's basic encrypted shape (pdf_utils.py:217-225)
+        return PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
     }
     val root = doc.dict(doc.trailer("Root"))
     val dims = Vector.newBuilder[PageDim]

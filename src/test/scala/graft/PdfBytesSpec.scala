@@ -114,6 +114,52 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(err.contains("Incorrect password"))
   }
 
+  test("extractPages on the REAL fixture: subset reparses with right count/dims and keeps content streams") {
+    import graft.extract.PdfRewrite
+    val f = new java.io.File(s"$resources/pdf_sample.pdf")
+    assume(f.exists(), "reference fixtures not present")
+    val src = read(f.getPath)
+    val sub = PdfRewrite.extractPages(src, Seq(0, 2)).fold(e => fail(e), identity)
+    val info = PdfBytes.pdfInfo(sub).fold(e => fail(e), identity)
+    assert(info.pageCount == 2)
+    assert(info.pageDims == Seq.fill(2)(PdfBytes.PageDim(595.0, 842.0)))
+    // the kept pages' Flate content streams must ride along verbatim
+    assert(new String(sub, "ISO-8859-1").contains("FlateDecode"))
+    assert(sub.length > 1000, s"suspiciously small: ${sub.length}")
+    // reversed/repeated selections follow the keep order
+    val rev = PdfRewrite.extractPages(src, Seq(3, 3, 1)).fold(e => fail(e), identity)
+    assert(PdfBytes.pdfInfo(rev).fold(e => fail(e), identity).pageCount == 3)
+    // out-of-range is an error, not a crash
+    assert(PdfRewrite.extractPages(src, Seq(7)).isLeft)
+  }
+
+  test("extractPages round-trip on writer PDFs preserves the selected dims") {
+    import graft.extract.PdfRewrite
+    val pages = (0 until 6).map(i => (100.0 + i, 200.0 + i))
+    val src = PdfBytes.buildPdf(pages, "t", "a")
+    val sub = PdfRewrite.extractPages(src, Seq(4, 1)).fold(e => fail(e), identity)
+    val info = PdfBytes.pdfInfo(sub).fold(e => fail(e), identity)
+    assert(info.pageDims == Seq(PdfBytes.PageDim(104.0, 204.0), PdfBytes.PageDim(101.0, 201.0)))
+  }
+
+  test("decryptPdf: plaintext unchanged; encrypted re-emits open and readable") {
+    import graft.extract.PdfRewrite
+    val plain = PdfBytes.buildPdf(Seq((10.0, 20.0)), "t", "a")
+    // unencrypted → ORIGINAL bytes unchanged (pdf_utils.py:104-106)
+    assert(PdfRewrite.decryptPdf(plain, "whatever").fold(e => fail(e), identity) eq plain)
+    val enc = PdfBytes.buildPdf(Seq((10.0, 20.0), (30.0, 40.0)), "tt", "aa", Some(("pw", 3)))
+    val dec = PdfRewrite.decryptPdf(enc, "pw").fold(e => fail(e), identity)
+    val info = PdfBytes.pdfInfo(dec).fold(e => fail(e), identity)
+    assert(!info.isEncrypted && info.pageCount == 2)
+    assert(info.pageDims == Seq(PdfBytes.PageDim(10.0, 20.0), PdfBytes.PageDim(30.0, 40.0)))
+    // wrong password is an error (reference raises)
+    assert(PdfRewrite.decryptPdf(enc, "nope").isLeft)
+    // empty-user-password files decrypt without a password
+    val enc2 = PdfBytes.buildPdf(Seq((10.0, 20.0)), "t2", "a2", Some(("", 3)))
+    val dec2 = PdfRewrite.decryptPdf(enc2, "").fold(e => fail(e), identity)
+    assert(!PdfBytes.pdfInfo(dec2).fold(e => fail(e), identity).isEncrypted)
+  }
+
   test("encrypted trailer returns the reference's basic-info shape") {
     // synthesize: take a built pdf and splice /Encrypt into the trailer
     val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")
