@@ -493,7 +493,7 @@ object PdfBytes {
   private[extract] case object Locked extends KeyResult
   /** AES V=4/5 etc. — documented non-goal */
   private[extract] case object UnsupportedHandler extends KeyResult
-  private[extract] final case class Opened(key: Array[Byte]) extends KeyResult
+  private[extract] final case class Opened(key: Array[Byte], aes: Boolean) extends KeyResult
 
   /** Standard-handler RC4 (V=1/2) password resolution — the reference's
     * semantics (pdf_utils.py:205-225): a provided password verifies or
@@ -510,13 +510,33 @@ object PdfBytes {
           case _ => dflt
         }
         val v = num("V", 0).toInt
-        if (!(enc.get("Filter").contains(PName("Standard")) && (v == 1 || v == 2)))
-          return UnsupportedHandler
+        if (!enc.get("Filter").contains(PName("Standard"))) return UnsupportedHandler
+        // V1/V2 = RC4; V4 dispatches on the /StdCF crypt filter: AESV2
+        // (AES-128-CBC) or V2 (RC4 under crypt-filter framing). V5
+        // (AES-256, SHA-2 password algorithm) stays a documented non-goal.
+        val aes = v match {
+          case 1 | 2 => false
+          case 4 =>
+            val cfm = for {
+              cf <- enc.get("CF").map(doc.resolve(_))
+              std <- cf match { case PDict(m) => m.get("StdCF").map(doc.resolve(_)); case _ => None }
+              n <- std match { case PDict(m) => m.get("CFM").map(doc.resolve(_)); case _ => None }
+            } yield n
+            cfm match {
+              case Some(PName("AESV2")) => true
+              case Some(PName("V2")) => false
+              case _ => return UnsupportedHandler
+            }
+          case _ => return UnsupportedHandler
+        }
         val o = doc.resolve(enc("O")).asInstanceOf[PStr].bytes
         val u = doc.resolve(enc("U")).asInstanceOf[PStr].bytes
         val p = num("P", -1).toInt
         val r = num("R", 2).toInt
-        val keyLen = if (v == 1) 5 else num("Length", 40).toInt / 8
+        val keyLen =
+          if (v == 1) 5
+          else if (v == 4) num("Length", 128).toInt / 8
+          else num("Length", 40).toInt / 8
         val encryptMetadata = enc.get("EncryptMetadata").map(doc.resolve(_)) match {
           case Some(PBool(b)) => b
           case _ => true
@@ -531,12 +551,12 @@ object PdfBytes {
         password match {
           case Some(pw) =>
             verify(pw.getBytes(StandardCharsets.ISO_8859_1)) match {
-              case Some(k) => Opened(k)
+              case Some(k) => Opened(k, aes)
               case None => throw new IllegalStateException("Incorrect password for encrypted PDF")
             }
           case None =>
             verify(Array.emptyByteArray) match {
-              case Some(k) => Opened(k) // empty-password docs open as not-encrypted
+              case Some(k) => Opened(k, aes) // empty-password docs open as not-encrypted
               case None => Locked
             }
         }
@@ -544,9 +564,9 @@ object PdfBytes {
 
   private def parseInfo(data: Array[Byte], password: Option[String]): PdfInfo = {
     val doc = new Doc(data)
-    val fileKey: Option[Array[Byte]] = encryptionKey(doc, password) match {
+    val fileKey: Option[(Array[Byte], Boolean)] = encryptionKey(doc, password) match {
       case NotEncrypted => None
-      case Opened(k) => Some(k)
+      case Opened(k, aes) => Some((k, aes))
       case Locked | UnsupportedHandler =>
         // the reference's basic encrypted shape (pdf_utils.py:217-225)
         return PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
@@ -584,7 +604,7 @@ object PdfBytes {
     def text(key: String): String = info.get(key).map(doc.resolve(_)) match {
       case Some(PStr(b)) =>
         val plain = fileKey match {
-          case Some(k) => PdfCrypt.decryptString(k, infoNum, infoGen, b)
+          case Some((k, aes)) => PdfCrypt.decryptData(k, aes, infoNum, infoGen, b)
           case None => b
         }
         decodeTextString(plain)
@@ -603,9 +623,9 @@ object PdfBytes {
     buildPdf(pages, title, author, None)
 
   /** `encryptWith = Some((userPassword, r))` (r = 2 → RC4-40/V1, r = 3 →
-    * RC4-128/V2) emits the Standard-handler /Encrypt dict with O/U entries
-    * from `PdfCrypt` and RC4-encrypts the Info strings — the encode side of
-    * the decryption round-trip tests.
+    * RC4-128/V2, r = 4 → AES-128/V4/AESV2) emits the Standard-handler
+    * /Encrypt dict with O/U entries from `PdfCrypt` and encrypts the Info
+    * strings — the encode side of the decryption round-trip tests.
     */
   def buildPdf(
       pages: Seq[(Double, Double)],
@@ -650,8 +670,12 @@ object PdfBytes {
     def textStringBytes(s: String): Array[Byte] =
       if (s.exists(_ > 0xff)) Array(0xfe.toByte, 0xff.toByte) ++ s.getBytes(StandardCharsets.UTF_16BE)
       else s.getBytes(StandardCharsets.ISO_8859_1)
-    /** Info strings: encrypted → RC4 under the carrier object's key, hex. */
+    /** Info strings: encrypted under the carrier object's key (RC4, or
+      * AES-CBC when r = 4), hex-emitted.
+      */
     def infoString(s: String, objNum: Int): String = enc match {
+      case Some((key, _, _, _, _, r)) if r == 4 =>
+        hex(PdfCrypt.encryptAes(key, objNum, 0, textStringBytes(s)))
       case Some((key, _, _, _, _, _)) =>
         hex(PdfCrypt.encryptString(key, objNum, 0, textStringBytes(s)))
       case None => pdfString(s)
@@ -676,7 +700,11 @@ object PdfBytes {
     w(s"<< /Title ${infoString(title, infoNum)} /Author ${infoString(author, infoNum)} >>\nendobj\n")
     enc.foreach { case (_, _, oEntry, uEntry, perm, r) =>
       beginObj(encNum)
-      val vLen = if (r == 2) "/V 1" else "/V 2 /Length 128"
+      val vLen =
+        if (r == 2) "/V 1"
+        else if (r == 4)
+          "/V 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        else "/V 2 /Length 128"
       w(s"<< /Filter /Standard $vLen /R $r /O ${hex(oEntry)} /U ${hex(uEntry)} /P $perm >>\nendobj\n")
     }
     val xrefAt = out.size()

@@ -124,12 +124,15 @@ object PdfCrypt {
     o
   }
 
-  /** §7.6.2 Algorithm 1: per-object key (V<5, RC4). */
-  def objectKey(fileKey: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+  /** §7.6.2 Algorithm 1: per-object key (V<5). AES (/AESV2) appends the
+    * "sAlT" marker bytes before hashing.
+    */
+  def objectKey(fileKey: Array[Byte], num: Int, gen: Int, aes: Boolean = false): Array[Byte] = {
     val ext = Array(
       (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
       (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
-    md5(fileKey, ext).take(math.min(fileKey.length + 5, 16))
+    val salt = if (aes) Array('s', 'A', 'l', 'T').map(_.toByte) else Array.emptyByteArray
+    md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
   }
 
   def decryptString(fileKey: Array[Byte], num: Int, gen: Int, bytes: Array[Byte]): Array[Byte] =
@@ -138,4 +141,36 @@ object PdfCrypt {
   /** Same primitive both ways for RC4. */
   def encryptString(fileKey: Array[Byte], num: Int, gen: Int, bytes: Array[Byte]): Array[Byte] =
     decryptString(fileKey, num, gen, bytes)
+
+  /** AESV2 (§7.6.2): payload = 16-byte IV ++ AES-128-CBC ciphertext with
+    * PKCS#5 padding, under the salted per-object key. JDK JCE supplies the
+    * cipher; only the PDF-specific framing lives here.
+    */
+  def decryptAes(fileKey: Array[Byte], num: Int, gen: Int, bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 16) return Array.emptyByteArray
+    val key = objectKey(fileKey, num, gen, aes = true)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(bytes.take(16)))
+    c.doFinal(bytes, 16, bytes.length - 16)
+  }
+
+  /** Encrypt side for round-trip fixtures; the IV is derived
+    * deterministically from the plaintext so the writer stays reproducible.
+    */
+  def encryptAes(fileKey: Array[Byte], num: Int, gen: Int, bytes: Array[Byte]): Array[Byte] = {
+    val key = objectKey(fileKey, num, gen, aes = true)
+    val iv = md5(bytes, key).take(16)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(bytes)
+  }
+
+  /** Cipher-dispatching decryption for a carrier object's string/stream. */
+  def decryptData(fileKey: Array[Byte], aes: Boolean, num: Int, gen: Int, bytes: Array[Byte]): Array[Byte] =
+    if (aes) decryptAes(fileKey, num, gen, bytes)
+    else decryptString(fileKey, num, gen, bytes)
 }

@@ -34,7 +34,7 @@ object PdfRewrite {
       val doc = new Doc(data)
       val key = PdfBytes.encryptionKey(doc, password) match {
         case NotEncrypted => None
-        case Opened(k) => Some(k)
+        case Opened(k, aes) => Some((k, aes))
         case Locked => return Left("pdf_encrypted: password required")
         case UnsupportedHandler => return Left("pdf_encrypted: unsupported handler")
       }
@@ -57,7 +57,8 @@ object PdfRewrite {
       val doc = new Doc(data)
       PdfBytes.encryptionKey(doc, if (password.isEmpty) None else Some(password)) match {
         case NotEncrypted => Right(data)
-        case Opened(k) => Right(emit(doc, collectPages(doc), Some(k)))
+        case Opened(k, aes) =>
+          Right(emit(doc, collectPages(doc), Some((k, aes)), includeInfo = true))
         case Locked => Left("pdf_encrypted: password required")
         case UnsupportedHandler => Left("pdf_encrypted: unsupported handler")
       }
@@ -113,10 +114,21 @@ object PdfRewrite {
   /** Builds the output document: fresh Catalog + Pages, the kept pages, and
     * the transitive closure of everything they reference, renumbered.
     */
-  private def emit(doc: Doc, kept: Seq[SrcPage], key: Option[Array[Byte]]): Array[Byte] = {
+  private def emit(
+      doc: Doc,
+      kept: Seq[SrcPage],
+      key: Option[(Array[Byte], Boolean)],
+      includeInfo: Boolean = false): Array[Byte] = {
+    // decryptPdf preserves the (decrypted) Info dict; page extraction
+    // matches the reference's fresh-PdfWriter behavior and drops it
+    val infoNum: Option[Int] = if (includeInfo) doc.trailer.get("Info") match {
+      case Some(PRef(n, _)) => Some(n)
+      case _ => None
+    } else None
     // transitive closure over source object numbers
     val needed = mutable.LinkedHashSet[Int]()
     val queue = mutable.Queue[Int]()
+    infoNum.foreach { n => needed.add(n); queue += n }
     kept.foreach { p =>
       val acc = mutable.Set[Int]()
       refsOf(PDict(p.dict), acc)
@@ -156,7 +168,7 @@ object PdfRewrite {
       case PName(n) => "/" + nameEsc(n)
       case PStr(b) =>
         val plain = key match {
-          case Some(k) => PdfCrypt.decryptString(k, srcNum, 0, b)
+          case Some((k, aes)) => PdfCrypt.decryptData(k, aes, srcNum, 0, b)
           case None => b
         }
         hexStr(plain)
@@ -166,7 +178,7 @@ object PdfRewrite {
       case PDict(m) => serDict(m, srcNum)
       case PStream(PDict(m), raw) =>
         val payload = key match {
-          case Some(k) => PdfCrypt.decryptString(k, srcNum, 0, raw)
+          case Some((k, aes)) => PdfCrypt.decryptData(k, aes, srcNum, 0, raw)
           case None => raw
         }
         val dict = m.updated("Length", PNum(payload.length.toDouble))
@@ -199,7 +211,8 @@ object PdfRewrite {
     w(s"xref\n0 $total\n")
     w("0000000000 65535 f \n")
     byNum.foreach { case (_, o) => w(f"$o%010d 00000 n \n") }
-    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n"); w("%%EOF\n")
+    val infoEntry = infoNum.map(n => s" /Info ${renumber(n)} 0 R").getOrElse("")
+    w(s"trailer\n<< /Size $total /Root 1 0 R$infoEntry >>\nstartxref\n$xrefAt\n"); w("%%EOF\n")
     out.toByteArray
   }
 }

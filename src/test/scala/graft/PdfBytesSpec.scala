@@ -85,10 +85,10 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(hx(rc4("Secret".getBytes, "Attack at dawn".getBytes)) == "45A01F645FC35B383552544B9BF5")
   }
 
-  test("empty-user-password RC4 PDFs open as not-encrypted (R=2 and R=3)") {
+  test("empty-user-password encrypted PDFs open as not-encrypted (RC4 R=2/R=3, AES R=4)") {
     // the pdf_utils.py:212-215 behavior: many PDFs are owner-locked with an
     // empty user password; get_pdf_info must read them fully
-    for (r <- Seq(2, 3)) {
+    for (r <- Seq(2, 3, 4)) {
       val bytes = PdfBytes.buildPdf(Seq((200.0, 300.0), (200.0, 300.0)),
         s"enc-title-$r", s"enc-author-$r", Some(("", r)))
       val info = PdfBytes.pdfInfo(bytes).fold(e => fail(s"r=$r: $e"), identity)
@@ -158,6 +158,15 @@ class PdfBytesSpec extends AnyFunSuite {
     val enc2 = PdfBytes.buildPdf(Seq((10.0, 20.0)), "t2", "a2", Some(("", 3)))
     val dec2 = PdfRewrite.decryptPdf(enc2, "").fold(e => fail(e), identity)
     assert(!PdfBytes.pdfInfo(dec2).fold(e => fail(e), identity).isEncrypted)
+    // AES-128 (V4/AESV2): password-protected info decrypts through JCE
+    val aes = PdfBytes.buildPdf(Seq((50.0, 60.0)), "aes title", "aes author", Some(("pw4", 4)))
+    assert(PdfBytes.pdfInfo(aes).fold(e => fail(e), identity).isEncrypted) // locked w/o pw
+    val openAes = PdfBytes.pdfInfo(aes, Some("pw4")).fold(e => fail(e), identity)
+    assert(!openAes.isEncrypted && openAes.title == "aes title" && openAes.author == "aes author")
+    val decAes = PdfRewrite.decryptPdf(aes, "pw4").fold(e => fail(e), identity)
+    val infoAes = PdfBytes.pdfInfo(decAes).fold(e => fail(e), identity)
+    assert(!infoAes.isEncrypted && infoAes.title == "aes title")
+    assert(PdfRewrite.decryptPdf(aes, "bad").isLeft)
   }
 
   test("encrypted trailer returns the reference's basic-info shape") {
