@@ -198,10 +198,13 @@ object PdfBytes {
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && !inf.finished()) throw new IllegalStateException("truncated flate data")
-        out.write(buf, 0, n)
+        if (n > 0) out.write(buf, 0, n)
+        // inflate()==0 before finished() means the input ran dry (or a
+        // preset dictionary is demanded): the data is truncated/corrupt —
+        // surface it rather than returning a silent prefix
+        else if (!inf.finished()) throw new IllegalStateException("truncated flate data")
       }
       out.toByteArray
     } finally inf.end()
@@ -253,10 +256,26 @@ object PdfBytes {
     catch { case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
   private[extract] final class Doc(data: Array[Byte]) {
-    /** obj num → either a file offset (Left) or (objstm num, index) (Right). */
+    /** obj num → either a file offset (Left) or (objstm num, index) (Right).
+      * [[FreeEntry]] (offset -1) is the free-entry tombstone: a newer
+      * revision's deletion must beat older sections' stale entries.
+      */
     private val xref = mutable.Map[Int, Either[Long, (Int, Int)]]()
+    private val FreeEntry: Either[Long, (Int, Int)] = Left(-1L)
     var trailer: Map[String, PObj] = Map.empty
     private val cache = mutable.Map[Int, PObj]()
+
+    /** Set (by the entry points) after password verification: stream
+      * payloads of direct objects decrypt under their carrier's key before
+      * any filter runs; xref streams are exempt (never encrypted, and
+      * parsed before the key exists anyway).
+      */
+    private[extract] var fileCrypto: Option[(Array[Byte], Boolean)] = None
+    private val objStmCarried = mutable.Set[Int]()
+    /** Objects inside object streams are NOT individually encrypted
+      * (§7.5.7) — string decryption must skip them.
+      */
+    private[extract] def isFromObjStm(num: Int): Boolean = objStmCarried.contains(num)
 
     locally {
       val sxAt = lastIndexOf(data, "startxref".getBytes)
@@ -290,36 +309,43 @@ object PdfBytes {
       p.skipWs()
       if (p.peek == 'x') { // classic: "xref" then subsections then "trailer"
         p.expect("xref")
+        var localTrailer: Map[String, PObj] = Map.empty
         var done = false
         while (!done) {
           p.skipWs()
           if (p.peek == 't') {
             p.expect("trailer")
-            val tr = p.obj().asInstanceOf[PDict].m
-            tr.foreach { case (k, v) => if (!trailer.contains(k)) trailer += k -> v }
+            localTrailer = p.obj().asInstanceOf[PDict].m
+            localTrailer.foreach { case (k, v) => if (!trailer.contains(k)) trailer += k -> v }
             done = true
           } else {
             val start = p.word().toInt
             p.skipWs()
             val count = p.word().toInt
-            p.skipWs()
             var n = 0
             while (n < count) {
-              // fixed 20-byte entries: "oooooooooo ggggg n \r\n"
-              val entry = new String(data, p.pos, 20, StandardCharsets.ISO_8859_1)
-              p.pos += 20
-              val parts = entry.trim.split("\\s+")
-              if (parts.length >= 3 && parts(2) == "n")
-                xref.getOrElseUpdate(start + n, Left(parts(0).toLong))
+              // entries are nominally fixed 20 bytes, but the 19-byte
+              // single-EOL variant is a widespread real-world deviation —
+              // parse tokens, not fixed slices
+              p.skipWs()
+              val offTok = p.word()
+              p.skipWs()
+              p.word() // generation
+              p.skipWs()
+              val ty = p.word()
+              if (ty == "n") xref.getOrElseUpdate(start + n, Left(offTok.toLong))
+              else xref.getOrElseUpdate(start + n, FreeEntry) // a newer revision freed it: tombstone beats older sections
               n += 1
             }
           }
         }
-        trailer.get("XRefStm") match { // hybrid-reference files
+        // hybrid-reference files: THIS section's /XRefStm (first-wins merged
+        // trailer would re-read only the newest one on every /Prev link)
+        localTrailer.get("XRefStm") match {
           case Some(PNum(v)) => readXrefSection(v.toInt)
           case _ => ()
         }
-        trailer.get("Prev") match { case Some(PNum(v)) => v.toLong; case _ => 0L }
+        localTrailer.get("Prev") match { case Some(PNum(v)) => v.toLong; case _ => 0L }
       } else { // 1.5+ xref STREAM: "N G obj << /Type /XRef ... >> stream"
         p.word(); p.skipWs(); p.word(); p.skipWs(); p.expect("obj")
         val stream = parseStreamAt(p)
@@ -352,7 +378,7 @@ object PdfBytes {
             if (!xref.contains(num)) ty match {
               case 1 => xref += num -> Left(f2)
               case 2 => xref += num -> Right((f2.toInt, f3.toInt))
-              case _ => () // free
+              case _ => xref += num -> FreeEntry // tombstone (see classic branch)
             }
             rowAt += rowLen
             n += 1
@@ -377,18 +403,23 @@ object PdfBytes {
     /** Applies /Filter (FlateDecode only — ASCIIHex etc. not needed for
       * xref/ObjStm) + /DecodeParms predictors.
       */
-    private def decode(s: PStream): Array[Byte] = {
-      val filters: Seq[String] = s.dict.m.get("Filter") match {
+    private def decode(s: PStream, carrierNum: Option[Int] = None): Array[Byte] = {
+      val s0 = (fileCrypto, carrierNum) match {
+        case (Some((k, aes)), Some(num)) =>
+          PStream(s.dict, PdfCrypt.decryptData(k, aes, num, 0, s.data))
+        case _ => s
+      }
+      val filters: Seq[String] = s0.dict.m.get("Filter") match {
         case Some(PName(n)) => Seq(n)
         case Some(PArr(items)) => items.map(_.asInstanceOf[PName].v)
         case None => Nil
         case other => throw new IllegalStateException(s"filter $other")
       }
-      var out = s.data
+      var out = s0.data
       filters.foreach {
         case "FlateDecode" =>
           out = inflate(out)
-          s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP")) match {
+          s0.dict.m.get("DecodeParms").orElse(s0.dict.m.get("DP")) match {
             case Some(dp: PDict) =>
               val pred = dp.m.get("Predictor").map(v => numOf(v).toInt).getOrElse(1)
               if (pred >= 10) {
@@ -420,6 +451,7 @@ object PdfBytes {
     private def loadObj(num: Int): PObj = cache.getOrElseUpdate(num, {
       xref.get(num) match {
         case Some(Left(offset)) =>
+          if (offset < 0) return PNull // freed in a newer revision
           val p = new Parser(data, offset.toInt)
           p.skipWs(); p.word(); p.skipWs(); p.word(); p.skipWs(); p.expect("obj")
           val o = p.obj()
@@ -430,7 +462,8 @@ object PdfBytes {
             case s: PStream => s
             case other => throw new IllegalStateException(s"objstm $stmNum is $other")
           }
-          val decoded = decode(stm)
+          val decoded = decode(stm, carrierNum = Some(stmNum))
+          objStmCarried += num
           val n = numOf(stm.dict.m("N")).toInt
           val first = numOf(stm.dict.m("First")).toInt
           val hp = new Parser(decoded, 0)
@@ -531,7 +564,10 @@ object PdfBytes {
         }
         val o = doc.resolve(enc("O")).asInstanceOf[PStr].bytes
         val u = doc.resolve(enc("U")).asInstanceOf[PStr].bytes
-        val p = num("P", -1).toInt
+        // /P is often serialized as an unsigned 32-bit value (e.g.
+        // 4294967292 for -4); Double→Int SATURATES at Int.MaxValue, so go
+        // through Long to get two's-complement wrapping
+        val p = num("P", -1).toLong.toInt
         val r = num("R", 2).toInt
         val keyLen =
           if (v == 1) 5
@@ -571,6 +607,7 @@ object PdfBytes {
         // the reference's basic encrypted shape (pdf_utils.py:217-225)
         return PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
     }
+    doc.fileCrypto = fileKey // ObjStm payloads decrypt from here on
     val root = doc.dict(doc.trailer("Root"))
     val dims = Vector.newBuilder[PageDim]
     var count = 0
@@ -604,8 +641,9 @@ object PdfBytes {
     def text(key: String): String = info.get(key).map(doc.resolve(_)) match {
       case Some(PStr(b)) =>
         val plain = fileKey match {
-          case Some((k, aes)) => PdfCrypt.decryptData(k, aes, infoNum, infoGen, b)
-          case None => b
+          case Some((k, aes)) if !doc.isFromObjStm(infoNum) =>
+            PdfCrypt.decryptData(k, aes, infoNum, infoGen, b)
+          case _ => b // ObjStm-carried strings are already plaintext (§7.5.7)
         }
         decodeTextString(plain)
       case _ => ""
@@ -639,7 +677,9 @@ object PdfBytes {
     def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
 
     def fmt(v: Double): String =
-      if (v == math.rint(v)) v.toLong.toString else v.toString
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      // PDF numbers have no exponent syntax (§7.3.3): plain decimal only
+      else java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
     def pdfString(s: String): String = {
       val needsUtf16 = s.exists(_ > 0xff)
       if (needsUtf16) {

@@ -38,10 +38,11 @@ object PdfRewrite {
         case Locked => return Left("pdf_encrypted: password required")
         case UnsupportedHandler => return Left("pdf_encrypted: unsupported handler")
       }
-      val pages = collectPages(doc)
-      val bad = keep.filter(i => i < 0 || i >= pages.length)
-      if (bad.nonEmpty) return Left(s"page index out of range: ${bad.mkString(",")} (have ${pages.length})")
-      val kept = keep.map(pages)
+      doc.fileCrypto = key // ObjStm payloads decrypt from here on
+      val pages = collectPages(doc, forExtraction = true)
+      // out-of-range indices are SILENTLY skipped — exact reference parity
+      // (pdf_utils.py:172-176: `if 0 <= i < len(reader.pages)`)
+      val kept = keep.filter(i => i >= 0 && i < pages.length).map(pages)
       Right(emit(doc, kept, key))
     } catch {
       case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -58,7 +59,9 @@ object PdfRewrite {
       PdfBytes.encryptionKey(doc, if (password.isEmpty) None else Some(password)) match {
         case NotEncrypted => Right(data)
         case Opened(k, aes) =>
-          Right(emit(doc, collectPages(doc), Some((k, aes)), includeInfo = true))
+          doc.fileCrypto = Some((k, aes))
+          Right(emit(doc, collectPages(doc, forExtraction = false), Some((k, aes)),
+            includeInfo = true))
         case Locked => Left("pdf_encrypted: password required")
         case UnsupportedHandler => Left("pdf_encrypted: unsupported handler")
       }
@@ -74,9 +77,16 @@ object PdfRewrite {
   private final case class SrcPage(num: Int, dict: Map[String, PObj])
 
   private val Inheritable = Seq("MediaBox", "Resources", "Rotate", "CropBox")
-  private val DroppedPageKeys = Set("Parent", "Annots", "StructParents", "B", "Tabs")
+  /** Page extraction drops link/structure plumbing so references cannot
+    * drag EXCLUDED pages into the closure; decryption keeps every page, so
+    * only the tree pointer is replaced and annotations survive (the
+    * reference's decrypt preserves them too).
+    */
+  private val ExtractionDropped = Set("Parent", "Annots", "StructParents", "B", "Tabs")
+  private val DecryptDropped = Set("Parent")
 
-  private def collectPages(doc: Doc): Vector[SrcPage] = {
+  private def collectPages(doc: Doc, forExtraction: Boolean): Vector[SrcPage] = {
+    val dropped = if (forExtraction) ExtractionDropped else DecryptDropped
     val out = Vector.newBuilder[SrcPage]
     val visited = mutable.Set[PObj]()
     def walk(node: PObj, inherited: Map[String, PObj]): Unit = {
@@ -89,7 +99,7 @@ object PdfRewrite {
             case PRef(n, _) => n
             case _ => throw new IllegalStateException("page is not an indirect object")
           }
-          val materialized = (m -- DroppedPageKeys) ++
+          val materialized = (m -- dropped) ++
             Inheritable.flatMap(k => inh.get(k).map(k -> _))
           out += SrcPage(num, materialized)
         case _ =>
@@ -154,7 +164,9 @@ object PdfRewrite {
     def beginObj(num: Int): Unit = { offsets += ((num, out.size())); w(s"$num 0 obj\n") }
 
     def fmt(v: Double): String =
-      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      // PDF numbers have no exponent syntax (§7.3.3): plain decimal only
+      else java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
     def nameEsc(s: String): String = s.flatMap { c =>
       if (c <= ' ' || c == '#' || "()<>[]{}/%".contains(c)) f"#${c.toInt}%02X" else c.toString
     }
@@ -168,8 +180,9 @@ object PdfRewrite {
       case PName(n) => "/" + nameEsc(n)
       case PStr(b) =>
         val plain = key match {
-          case Some((k, aes)) => PdfCrypt.decryptData(k, aes, srcNum, 0, b)
-          case None => b
+          case Some((k, aes)) if !doc.isFromObjStm(srcNum) =>
+            PdfCrypt.decryptData(k, aes, srcNum, 0, b)
+          case _ => b // ObjStm-carried strings are already plaintext (§7.5.7)
         }
         hexStr(plain)
       case PRef(n, _) =>
@@ -179,7 +192,7 @@ object PdfRewrite {
       case PStream(PDict(m), raw) =>
         val payload = key match {
           case Some((k, aes)) => PdfCrypt.decryptData(k, aes, srcNum, 0, raw)
-          case None => raw
+          case None => raw // streams cannot live in ObjStm, so no skip here
         }
         val dict = m.updated("Length", PNum(payload.length.toDouble))
         serDict(dict, srcNum) + "\nstream\n" +

@@ -129,8 +129,46 @@ class PdfBytesSpec extends AnyFunSuite {
     // reversed/repeated selections follow the keep order
     val rev = PdfRewrite.extractPages(src, Seq(3, 3, 1)).fold(e => fail(e), identity)
     assert(PdfBytes.pdfInfo(rev).fold(e => fail(e), identity).pageCount == 3)
-    // out-of-range is an error, not a crash
-    assert(PdfRewrite.extractPages(src, Seq(7)).isLeft)
+    // out-of-range indices are SILENTLY skipped (pdf_utils.py:172-176)
+    val skipped = PdfRewrite.extractPages(src, Seq(0, 7)).fold(e => fail(e), identity)
+    assert(PdfBytes.pdfInfo(skipped).fold(e => fail(e), identity).pageCount == 1)
+  }
+
+  test("regression: unsigned /P values wrap instead of saturating") {
+    // many producers serialize P as unsigned 32-bit (4294967252 == -44);
+    // Double->Int saturation would derive the wrong file key
+    val enc = PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a", Some(("", 3)))
+    // the patch lengthens the file, shifting the xref — recompute startxref
+    val hacked = new String(enc, "ISO-8859-1").replace("/P -44", "/P 4294967252")
+    val info = PdfBytes.pdfInfo(
+      rebuildStartxref(hacked).getBytes("ISO-8859-1")).fold(e => fail(e), identity)
+    assert(!info.isEncrypted && info.pageCount == 1 && info.title == "t")
+  }
+
+  /** Recomputes the startxref offset after a text patch shifted the xref. */
+  private def rebuildStartxref(pdf: String): String = {
+    val xrefAt = pdf.lastIndexOf("\nxref\n") + 1
+    val sx = pdf.lastIndexOf("startxref\n")
+    val end = pdf.indexOf('\n', sx + "startxref\n".length)
+    pdf.substring(0, sx) + "startxref\n" + xrefAt + pdf.substring(end)
+  }
+
+  test("regression: 19-byte single-EOL xref entries still parse") {
+    val pdf = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t19", "a"), "ISO-8859-1")
+    // rewrite every 20-byte "NNNNNNNNNN GGGGG n \n" entry to the 19-byte
+    // single-EOL deviation "NNNNNNNNNN GGGGG n\n"
+    val patched = pdf.replace(" n \n", " n\n").replace(" f \n", " f\n")
+    assert(patched.length < pdf.length)
+    val info = PdfBytes.pdfInfo(
+      rebuildStartxref(patched).getBytes("ISO-8859-1")).fold(e => fail(e), identity)
+    assert(info.pageCount == 1 && info.title == "t19")
+  }
+
+  test("regression: sub-milli reals round-trip without exponent syntax") {
+    val bytes = PdfBytes.buildPdf(Seq((0.0005, 12000000.5)), "tiny", "a")
+    assert(!new String(bytes, "ISO-8859-1").toUpperCase.contains("E-"))
+    val info = PdfBytes.pdfInfo(bytes).fold(e => fail(e), identity)
+    assert(info.pageDims == Seq(PdfBytes.PageDim(0.0005, 12000000.5)))
   }
 
   test("extractPages round-trip on writer PDFs preserves the selected dims") {
