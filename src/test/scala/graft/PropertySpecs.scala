@@ -273,3 +273,59 @@ object GlobProps extends Properties("GlobToRegex") {
       ours == jdk
     }
 }
+
+/** Writer→parser round-trip over the PDF container family: page counts,
+  * dims, Info strings (incl. UTF-16 forms and PDF-delimiter characters),
+  * and every supported encryption mode. The writer and parser share no
+  * serialization code — buildPdf emits text, the parser lexes bytes — so
+  * agreement here exercises the full §7.3/§7.5 loop.
+  */
+object PdfProps extends Properties("PdfBytes") {
+  import graft.extract.{PdfBytes, PdfRewrite}
+  import org.scalacheck.Gen
+
+  private val dim: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(1, 2000).map(_.toDouble),
+    Gen.chooseNum(1, 2000000).map(_ / 1000.0)) // sub-point reals
+  private val pageGen: Gen[(Double, Double)] = for { w <- dim; h <- dim } yield (w, h)
+  private val pagesGen: Gen[List[(Double, Double)]] =
+    Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, pageGen))
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(40)),
+    Gen.oneOf("a(b)", "back\\slash", "Grüße", "中文 text", "", "emoji 🙂"))
+  private val encGen: Gen[Option[(String, Int)]] = Gen.oneOf(
+    Gen.const(None),
+    for { pw <- Gen.oneOf("", "pw", "hunter2"); r <- Gen.oneOf(2, 3, 4) } yield Some((pw, r)))
+
+  property("buildPdf → pdfInfo recovers pages/dims/title/author in every mode") =
+    Prop.forAllNoShrink(pagesGen, textGen, textGen, encGen) { (pages, title, author, enc) =>
+      val bytes = PdfBytes.buildPdf(pages, title, author, enc)
+      val pw = enc.map(_._1)
+      // locked docs (non-empty pw, none supplied) are covered by the spec;
+      // here we always open with the right password
+      val info = PdfBytes.pdfInfo(bytes, pw.filter(_.nonEmpty)).fold(
+        e => throw new IllegalStateException(e), identity)
+      info.pageCount == pages.length &&
+        info.pageDims == pages.map { case (w, h) => PdfBytes.PageDim(w, h) } &&
+        info.title == title && info.author == author && !info.isEncrypted
+    }
+
+  property("extractPages keeps exactly the selected dims in keep order") =
+    Prop.forAllNoShrink(pagesGen, Gen.listOf(Gen.chooseNum(-2, 12))) { (pages, keep) =>
+      val src = PdfBytes.buildPdf(pages, "t", "a")
+      val valid = keep.filter(i => i >= 0 && i < pages.length)
+      val sub = PdfRewrite.extractPages(src, keep).fold(
+        e => throw new IllegalStateException(e), identity)
+      val info = PdfBytes.pdfInfo(sub).fold(e => throw new IllegalStateException(e), identity)
+      info.pageDims == valid.map(i => PdfBytes.PageDim(pages(i)._1, pages(i)._2))
+    }
+
+  property("decryptPdf output opens without a password and preserves Info") =
+    Prop.forAllNoShrink(pagesGen, textGen, Gen.oneOf(2, 3, 4)) { (pages, title, r) =>
+      val enc = PdfBytes.buildPdf(pages, title, "au", Some(("pw", r)))
+      val dec = PdfRewrite.decryptPdf(enc, "pw").fold(
+        e => throw new IllegalStateException(e), identity)
+      val info = PdfBytes.pdfInfo(dec).fold(e => throw new IllegalStateException(e), identity)
+      !info.isEncrypted && info.pageCount == pages.length && info.title == title
+    }
+}
