@@ -95,6 +95,25 @@ object Demo {
       } finally spark.stop()
     }
 
+    // 6b. byte-real PDF family over the reference's REAL fixture
+    val fixture = new java.io.File("/root/reference/tests/resources/pdf_sample.pdf")
+    if (fixture.exists()) {
+      val bytes = java.nio.file.Files.readAllBytes(fixture.toPath)
+      val info = Graft.pdfInfo(bytes).fold(sys.error, identity)
+      println(s"== pdf_sample.pdf: pages=${info.pageCount} " +
+        s"dims=${info.pageDims.head.width}x${info.pageDims.head.height} " +
+        s"encrypted=${info.isEncrypted} ==")
+      val sub = Graft.extractPdfPages(bytes, Seq(0, 2)).fold(sys.error, identity)
+      val subInfo = Graft.pdfInfo(sub).fold(sys.error, identity)
+      println(s"== extractPdfPages(0,2): ${subInfo.pageCount} pages, ${sub.length} bytes ==")
+      val enc = graft.extract.PdfBytes.buildPdf(
+        Seq((200.0, 300.0)), "demo secret", "demo author", Some(("pw", 4)))
+      val dec = Graft.decryptPdf(enc, "pw").fold(sys.error, identity)
+      val decInfo = Graft.pdfInfo(dec).fold(sys.error, identity)
+      println(s"== AES-128 decrypt round-trip: title='${decInfo.title}' " +
+        s"encrypted=${decInfo.isEncrypted} ==")
+    }
+
     // 7. golden round-trip (if the reference snapshot is present)
     val ambr = new java.io.File("/root/reference/tests/__snapshots__/test_output.ambr")
     if (ambr.exists()) {
