@@ -242,6 +242,16 @@ object SparkEntry {
         tbl(s, dir, "documents").filter(col("doc_id") < 500)
           .repartition(s.sparkContext.defaultParallelism),
         threshold = 0.15, k = 32, bands = 8)),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTER formation: the transitive-closure step between
+      // pair generation and canonical selection (a~b, b~c collapse to one
+      // cluster even when a~c was never emitted). Min-label propagation
+      // over the same pair graph the q_minhash_pairs oracle reproduces.
+      val slice = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.minhashPairs(slice, threshold = 0.15, k = 32, bands = 8)
+      Dedup.connectedComponents(slice.select(col("doc_id")), pairs)
+    }),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         tbl(s, dir, "documents").filter(col("doc_id") < 500)
@@ -635,6 +645,42 @@ object SparkEntry {
     * relational form of the reference's snapshot compare,
     * tests/test_output.py:38-49); everything else reads the sf tables.
     */
+  /** Shared by q_minhash_pairs and q_dedup_clusters (which wraps it in a
+    * recursive-CTE component computation).
+    */
+  private def minhashPairsSql: String =
+    s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shs
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+') AS ws
+        |        FROM documents WHERE doc_id < 500)
+        |), hashed AS (
+        |  SELECT doc_id, [${h60Sql("s")} FOR s IN shs] AS hs
+        |  FROM sh WHERE len(shs) > 0
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    [list_min([((h % 2147483647) * (${h60Sql("'minhash-a-' || j")} % 2147483646 + 1)
+        |        + ${h60Sql("'minhash-b-' || j")} % 2147483647) % 2147483647 FOR h IN hs])
+        |     FOR j IN range(0, 32)] AS sig
+        |  FROM hashed
+        |), banded AS (
+        |  SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], '_') AS band_key
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+        |), inv AS (
+        |  SELECT doc_id, len(dh) AS n_h, unnest(dh) AS h
+        |  FROM (SELECT doc_id, list_distinct(hs) AS dh FROM hashed)
+        |)
+        |SELECT id_a, id_b,
+        |  round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) AS jaccard
+        |FROM cand c JOIN inv a ON a.doc_id = c.id_a
+        |            JOIN inv b ON b.doc_id = c.id_b AND b.h = a.h
+        |GROUP BY 1, 2
+        |HAVING round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) >= 0.15""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ------------------------------------------------------------------
     // Span-pipeline oracles over the generator-truth tables
@@ -916,38 +962,23 @@ object SparkEntry {
         |  FROM hashed
         |)
         |SELECT doc_id, sig FROM sigs""".stripMargin,
-    "q_minhash_pairs" ->
-      s"""WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shs
-        |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+') AS ws
-        |        FROM documents WHERE doc_id < 500)
-        |), hashed AS (
-        |  SELECT doc_id, [${h60Sql("s")} FOR s IN shs] AS hs
-        |  FROM sh WHERE len(shs) > 0
-        |), sigs AS (
-        |  SELECT doc_id,
-        |    [list_min([((h % 2147483647) * (${h60Sql("'minhash-a-' || j")} % 2147483646 + 1)
-        |        + ${h60Sql("'minhash-b-' || j")} % 2147483647) % 2147483647 FOR h IN hs])
-        |     FOR j IN range(0, 32)] AS sig
-        |  FROM hashed
-        |), banded AS (
-        |  SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], '_') AS band_key
-        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
-        |), cand AS (
-        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |  FROM banded l JOIN banded r ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-        |), inv AS (
-        |  SELECT doc_id, len(dh) AS n_h, unnest(dh) AS h
-        |  FROM (SELECT doc_id, list_distinct(hs) AS dh FROM hashed)
+    "q_minhash_pairs" -> minhashPairsSql,
+    "q_dedup_clusters" ->
+      // components over the minhash pair graph via recursive min-reach:
+      // comp(v) = min(u reachable from v); singletons keep their own id
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql
+        |), nodes AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 500
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
         |)
-        |SELECT id_a, id_b,
-        |  round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) AS jaccard
-        |FROM cand c JOIN inv a ON a.doc_id = c.id_a
-        |            JOIN inv b ON b.doc_id = c.id_b AND b.h = a.h
-        |GROUP BY 1, 2
-        |HAVING round(count(*) / CAST(any_value(a.n_h) + any_value(b.n_h) - count(*) AS DOUBLE), 6) >= 0.15""".stripMargin,
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY 1""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS s

@@ -266,4 +266,59 @@ object Dedup {
         Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Connected components over a near-duplicate pair graph — the cluster
+    * step a dedup pipeline needs between pair generation
+    * ([[minhashPairs]]/[[simhashPairs]]/[[jaccardPairs]]/[[embeddingNearDups]])
+    * and canonical-doc selection (`keep doc_id == cluster_id`; the pair
+    * lists alone cannot drop duplicates transitively: a~b, b~c must
+    * collapse a,b,c into ONE cluster even when a~c was never emitted).
+    *
+    * Iterative min-label propagation: each round is one shuffle join +
+    * min-aggregate; the minimum label travels one hop per round, so rounds
+    * = component diameter. Near-dup components are tiny cliques/short
+    * chains (diameter ≤ ~3) so this converges in 2-4 rounds at any corpus
+    * scale — the per-round cost is O(|edges|) shuffle, never O(n²). For
+    * adversarial long-chain graphs the alternating small-star/large-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) drops rounds to O(log n) with the same join
+    * primitive — documented upgrade path, not needed for near-dup shapes.
+    * Each round is `localCheckpoint`ed: iterative self-joins otherwise
+    * accumulate lineage and replan from scratch every round.
+    *
+    * @return (doc_id, cluster_id) for EVERY node — singletons keep their
+    *         own id, members carry the component's minimum doc_id.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      maxIters: Int = 25,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("e_src"), col(bCol).as("e_dst"))
+      .union(pairs.select(col(bCol).as("e_src"), col(aCol).as("e_dst")))
+      .persist()
+    try {
+      var labels = nodes.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
+        .localCheckpoint(eager = true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val neigh = edges.join(labels, edges("e_dst") === labels("doc_id"))
+          .groupBy(col("e_src"))
+          .agg(min(col("cluster_id")).as("neigh_min"))
+        val next = labels.join(neigh, labels("doc_id") === neigh("e_src"), "left")
+          .select(labels("doc_id"),
+            least(col("cluster_id"), coalesce(col("neigh_min"), col("cluster_id")))
+              .as("cluster_id"),
+            (coalesce(col("neigh_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
+          .localCheckpoint(eager = true)
+        changed = next.filter(col("chg")).limit(1).count()
+        labels = next.drop("chg")
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
 }
