@@ -287,7 +287,10 @@ object Dedup {
     * accumulate lineage and replan from scratch every round.
     *
     * @return (doc_id, cluster_id) for EVERY node — singletons keep their
-    *         own id, members carry the component's minimum doc_id.
+    *         own id, members carry the component's minimum doc_id. If a
+    *         component's diameter exceeds `maxIters` the labels come back
+    *         partially propagated (over-segmented, never wrongly merged) —
+    *         raise `maxIters` or switch to star-contraction for such graphs.
     */
   def connectedComponents(
       nodes: DataFrame,
