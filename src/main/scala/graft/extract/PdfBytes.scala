@@ -256,12 +256,13 @@ object PdfBytes {
     catch { case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
   private[extract] final class Doc(data: Array[Byte]) {
-    /** obj num → either a file offset (Left) or (objstm num, index) (Right).
-      * [[FreeEntry]] (offset -1) is the free-entry tombstone: a newer
-      * revision's deletion must beat older sections' stale entries.
+    /** obj num → either (file offset, generation) (Left) or
+      * (objstm num, index) (Right). [[FreeEntry]] (offset -1) is the
+      * free-entry tombstone: a newer revision's deletion must beat older
+      * sections' stale entries.
       */
-    private val xref = mutable.Map[Int, Either[Long, (Int, Int)]]()
-    private val FreeEntry: Either[Long, (Int, Int)] = Left(-1L)
+    private val xref = mutable.Map[Int, Either[(Long, Int), (Int, Int)]]()
+    private val FreeEntry: Either[(Long, Int), (Int, Int)] = Left((-1L, 0))
     var trailer: Map[String, PObj] = Map.empty
     private val cache = mutable.Map[Int, PObj]()
 
@@ -276,6 +277,16 @@ object PdfBytes {
       * (§7.5.7) — string decryption must skip them.
       */
     private[extract] def isFromObjStm(num: Int): Boolean = objStmCarried.contains(num)
+
+    /** The xref generation of an in-use direct object (0 for ObjStm-carried
+      * objects, whose implicit generation is 0 per §7.5.7). Per-object
+      * crypto keys (Algorithm 1) hash this, so a gen>0 object must not be
+      * keyed as gen 0.
+      */
+    private[extract] def genOf(num: Int): Int = xref.get(num) match {
+      case Some(Left((off, g))) if off >= 0 => g
+      case _ => 0
+    }
 
     locally {
       val sxAt = lastIndexOf(data, "startxref".getBytes)
@@ -310,6 +321,12 @@ object PdfBytes {
       if (p.peek == 'x') { // classic: "xref" then subsections then "trailer"
         p.expect("xref")
         var localTrailer: Map[String, PObj] = Map.empty
+        // buffered, NOT installed inline: in hybrid-reference files
+        // (§7.5.8.4) the classic table marks ObjStm-compressed objects as
+        // FREE and their real type-2 entries live in the /XRefStm stream,
+        // which takes precedence over this section's own entries — so the
+        // stream must install first or its entries get tombstone-shadowed
+        val sectionEntries = mutable.ArrayBuffer[(Int, Either[(Long, Int), (Int, Int)])]()
         var done = false
         while (!done) {
           p.skipWs()
@@ -330,21 +347,23 @@ object PdfBytes {
               p.skipWs()
               val offTok = p.word()
               p.skipWs()
-              p.word() // generation
+              val genTok = p.word()
               p.skipWs()
               val ty = p.word()
-              if (ty == "n") xref.getOrElseUpdate(start + n, Left(offTok.toLong))
-              else xref.getOrElseUpdate(start + n, FreeEntry) // a newer revision freed it: tombstone beats older sections
+              if (ty == "n") sectionEntries += ((start + n, Left((offTok.toLong, genTok.toInt))))
+              else sectionEntries += ((start + n, FreeEntry)) // a newer revision freed it: tombstone beats older sections
               n += 1
             }
           }
         }
-        // hybrid-reference files: THIS section's /XRefStm (first-wins merged
-        // trailer would re-read only the newest one on every /Prev link)
+        // hybrid-reference files: THIS section's /XRefStm reads BEFORE the
+        // section's own entries install (first-wins stays intact across
+        // /Prev revisions because both go through getOrElseUpdate)
         localTrailer.get("XRefStm") match {
           case Some(PNum(v)) => readXrefSection(v.toInt)
           case _ => ()
         }
+        sectionEntries.foreach { case (num, e) => xref.getOrElseUpdate(num, e) }
         localTrailer.get("Prev") match { case Some(PNum(v)) => v.toLong; case _ => 0L }
       } else { // 1.5+ xref STREAM: "N G obj << /Type /XRef ... >> stream"
         p.word(); p.skipWs(); p.word(); p.skipWs(); p.expect("obj")
@@ -376,7 +395,7 @@ object PdfBytes {
             val f3 = field(n, 2)
             val num = start + n
             if (!xref.contains(num)) ty match {
-              case 1 => xref += num -> Left(f2)
+              case 1 => xref += num -> Left((f2, f3.toInt)) // f3 = generation
               case 2 => xref += num -> Right((f2.toInt, f3.toInt))
               case _ => xref += num -> FreeEntry // tombstone (see classic branch)
             }
@@ -406,7 +425,7 @@ object PdfBytes {
     private def decode(s: PStream, carrierNum: Option[Int] = None): Array[Byte] = {
       val s0 = (fileCrypto, carrierNum) match {
         case (Some((k, aes)), Some(num)) =>
-          PStream(s.dict, PdfCrypt.decryptData(k, aes, num, 0, s.data))
+          PStream(s.dict, PdfCrypt.decryptData(k, aes, num, genOf(num), s.data))
         case _ => s
       }
       val filters: Seq[String] = s0.dict.m.get("Filter") match {
@@ -450,7 +469,7 @@ object PdfBytes {
 
     private def loadObj(num: Int): PObj = cache.getOrElseUpdate(num, {
       xref.get(num) match {
-        case Some(Left(offset)) =>
+        case Some(Left((offset, _))) =>
           if (offset < 0) return PNull // freed in a newer revision
           val p = new Parser(data, offset.toInt)
           p.skipWs(); p.word(); p.skipWs(); p.word(); p.skipWs(); p.expect("obj")
@@ -526,7 +545,8 @@ object PdfBytes {
   private[extract] case object Locked extends KeyResult
   /** AES V=4/5 etc. — documented non-goal */
   private[extract] case object UnsupportedHandler extends KeyResult
-  private[extract] final case class Opened(key: Array[Byte], aes: Boolean) extends KeyResult
+  private[extract] final case class Opened(
+      key: Array[Byte], aes: Boolean, encryptMetadata: Boolean = true) extends KeyResult
 
   /** Standard-handler RC4 (V=1/2) password resolution — the reference's
     * semantics (pdf_utils.py:205-225): a provided password verifies or
@@ -587,12 +607,12 @@ object PdfBytes {
         password match {
           case Some(pw) =>
             verify(pw.getBytes(StandardCharsets.ISO_8859_1)) match {
-              case Some(k) => Opened(k, aes)
+              case Some(k) => Opened(k, aes, encryptMetadata)
               case None => throw new IllegalStateException("Incorrect password for encrypted PDF")
             }
           case None =>
             verify(Array.emptyByteArray) match {
-              case Some(k) => Opened(k, aes) // empty-password docs open as not-encrypted
+              case Some(k) => Opened(k, aes, encryptMetadata) // empty-password docs open as not-encrypted
               case None => Locked
             }
         }
@@ -602,7 +622,7 @@ object PdfBytes {
     val doc = new Doc(data)
     val fileKey: Option[(Array[Byte], Boolean)] = encryptionKey(doc, password) match {
       case NotEncrypted => None
-      case Opened(k, aes) => Some((k, aes))
+      case Opened(k, aes, _) => Some((k, aes))
       case Locked | UnsupportedHandler =>
         // the reference's basic encrypted shape (pdf_utils.py:217-225)
         return PdfInfo(0, data.length.toLong, isEncrypted = true, Nil, "", "")
@@ -633,16 +653,18 @@ object PdfBytes {
     walk(root("Pages"), None)
     val infoRef = doc.trailer.get("Info")
     val info = infoRef.map(doc.dict).getOrElse(Map.empty)
-    // strings are encrypted with the per-OBJECT key of their carrier
-    val (infoNum, infoGen) = infoRef match {
-      case Some(PRef(n, g)) => (n, g)
-      case _ => (0, 0)
+    // strings are encrypted with the per-OBJECT key of their carrier;
+    // the generation comes from the XREF entry (authoritative), not the
+    // trailer's reference syntax
+    val infoNum = infoRef match {
+      case Some(PRef(n, _)) => n
+      case _ => 0
     }
     def text(key: String): String = info.get(key).map(doc.resolve(_)) match {
       case Some(PStr(b)) =>
         val plain = fileKey match {
           case Some((k, aes)) if !doc.isFromObjStm(infoNum) =>
-            PdfCrypt.decryptData(k, aes, infoNum, infoGen, b)
+            PdfCrypt.decryptData(k, aes, infoNum, doc.genOf(infoNum), b)
           case _ => b // ObjStm-carried strings are already plaintext (§7.5.7)
         }
         decodeTextString(plain)

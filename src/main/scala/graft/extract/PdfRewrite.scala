@@ -12,11 +12,14 @@ import scala.collection.mutable
   * payloads under each carrier object's key), so the output never carries
   * /Encrypt.
   *
-  * Faithfulness bounds (documented, not faked): generation numbers are
-  * assumed 0 (universal in practice); /Annots and /Outlines are dropped on
-  * page extraction so links cannot drag excluded pages into the closure
-  * (pypdf rewrites such references instead); AES-encrypted inputs are
-  * rejected like every other V≥4 handler.
+  * Faithfulness bounds (documented, not faked): per-object decryption keys
+  * use each object's XREF generation (gen>0 objects key correctly); the
+  * OUTPUT renumbers everything to generation 0 as any fresh writer does.
+  * /Annots and /Outlines are dropped on page extraction so links cannot
+  * drag excluded pages into the closure (pypdf rewrites such references
+  * instead). When /EncryptMetadata is false the XMP /Metadata stream is
+  * stored plaintext and is copied verbatim, as is any stream whose /Filter
+  * chain carries a /Crypt Identity filter (§7.4.10).
   */
 object PdfRewrite {
 
@@ -32,9 +35,9 @@ object PdfRewrite {
       password: Option[String] = None): Either[String, Array[Byte]] =
     try {
       val doc = new Doc(data)
-      val key = PdfBytes.encryptionKey(doc, password) match {
-        case NotEncrypted => None
-        case Opened(k, aes) => Some((k, aes))
+      val (key, encryptMeta) = PdfBytes.encryptionKey(doc, password) match {
+        case NotEncrypted => (None, true)
+        case Opened(k, aes, em) => (Some((k, aes)), em)
         case Locked => return Left("pdf_encrypted: password required")
         case UnsupportedHandler => return Left("pdf_encrypted: unsupported handler")
       }
@@ -43,7 +46,7 @@ object PdfRewrite {
       // out-of-range indices are SILENTLY skipped — exact reference parity
       // (pdf_utils.py:172-176: `if 0 <= i < len(reader.pages)`)
       val kept = keep.filter(i => i >= 0 && i < pages.length).map(pages)
-      Right(emit(doc, kept, key))
+      Right(emit(doc, kept, key, encryptMeta = encryptMeta))
     } catch {
       case e: Exception => Left(s"pdf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
@@ -58,10 +61,10 @@ object PdfRewrite {
       val doc = new Doc(data)
       PdfBytes.encryptionKey(doc, if (password.isEmpty) None else Some(password)) match {
         case NotEncrypted => Right(data)
-        case Opened(k, aes) =>
+        case Opened(k, aes, em) =>
           doc.fileCrypto = Some((k, aes))
           Right(emit(doc, collectPages(doc, forExtraction = false), Some((k, aes)),
-            includeInfo = true))
+            includeInfo = true, encryptMeta = em))
         case Locked => Left("pdf_encrypted: password required")
         case UnsupportedHandler => Left("pdf_encrypted: unsupported handler")
       }
@@ -113,6 +116,30 @@ object PdfRewrite {
     out.result()
   }
 
+  /** True when the stream's /Filter chain includes a /Crypt filter whose
+    * /DecodeParms /Name is Identity (or absent — Identity is the §7.4.10
+    * default): such a stream's bytes are stored UNencrypted even in an
+    * encrypted document.
+    */
+  private def hasIdentityCryptFilter(doc: Doc, m: Map[String, PObj]): Boolean = {
+    val filters: Seq[String] = m.get("Filter").map(doc.resolve(_)) match {
+      case Some(PName(n)) => Seq(n)
+      case Some(PArr(items)) => items.map(doc.resolve(_)).collect { case PName(n) => n }
+      case _ => Nil
+    }
+    val cryptIdx = filters.indexOf("Crypt")
+    if (cryptIdx < 0) return false
+    val parms: Seq[PObj] = m.get("DecodeParms").orElse(m.get("DP")).map(doc.resolve(_)) match {
+      case Some(PArr(items)) => items.map(doc.resolve(_))
+      case Some(d: PDict) => Seq(d)
+      case _ => Nil
+    }
+    parms.lift(cryptIdx) match {
+      case Some(PDict(dm)) => dm.get("Name").forall(doc.resolve(_) == PName("Identity"))
+      case _ => true // no parms dict ⇒ Identity default
+    }
+  }
+
   private def refsOf(o: PObj, acc: mutable.Set[Int]): Unit = o match {
     case PRef(n, _) => acc += n
     case PArr(items) => items.foreach(refsOf(_, acc))
@@ -128,7 +155,19 @@ object PdfRewrite {
       doc: Doc,
       kept: Seq[SrcPage],
       key: Option[(Array[Byte], Boolean)],
-      includeInfo: Boolean = false): Array[Byte] = {
+      includeInfo: Boolean = false,
+      encryptMeta: Boolean = true): Array[Byte] = {
+    // decryptPdf (includeInfo) preserves the document XMP /Metadata stream
+    // through the rebuilt Catalog; page extraction matches the reference's
+    // fresh-PdfWriter behavior and drops it
+    val rootMetadataNum: Option[Int] = doc.dict(doc.trailer("Root")).get("Metadata") match {
+      case Some(PRef(n, _)) => Some(n)
+      case _ => None
+    }
+    val keptMetadataNum: Option[Int] = if (includeInfo) rootMetadataNum else None
+    // /EncryptMetadata false ⇒ the XMP /Metadata stream is stored PLAINTEXT
+    // in an otherwise-encrypted file — copy it verbatim
+    val plainMetadataNum: Option[Int] = if (encryptMeta) None else rootMetadataNum
     // decryptPdf preserves the (decrypted) Info dict; page extraction
     // matches the reference's fresh-PdfWriter behavior and drops it
     val infoNum: Option[Int] = if (includeInfo) doc.trailer.get("Info") match {
@@ -139,6 +178,7 @@ object PdfRewrite {
     val needed = mutable.LinkedHashSet[Int]()
     val queue = mutable.Queue[Int]()
     infoNum.foreach { n => needed.add(n); queue += n }
+    keptMetadataNum.foreach { n => if (needed.add(n)) queue += n }
     kept.foreach { p =>
       val acc = mutable.Set[Int]()
       refsOf(PDict(p.dict), acc)
@@ -181,7 +221,7 @@ object PdfRewrite {
       case PStr(b) =>
         val plain = key match {
           case Some((k, aes)) if !doc.isFromObjStm(srcNum) =>
-            PdfCrypt.decryptData(k, aes, srcNum, 0, b)
+            PdfCrypt.decryptData(k, aes, srcNum, doc.genOf(srcNum), b)
           case _ => b // ObjStm-carried strings are already plaintext (§7.5.7)
         }
         hexStr(plain)
@@ -190,9 +230,16 @@ object PdfRewrite {
       case PArr(items) => items.map(ser(_, srcNum)).mkString("[ ", " ", " ]")
       case PDict(m) => serDict(m, srcNum)
       case PStream(PDict(m), raw) =>
+        // plaintext-in-encrypted-file carve-outs: the unencrypted XMP
+        // /Metadata stream (EncryptMetadata false) and any stream whose
+        // /Filter chain names a /Crypt filter with the Identity CF (§7.4.10
+        // — the Identity filter means "data not encrypted")
+        val storedPlain =
+          plainMetadataNum.contains(srcNum) || hasIdentityCryptFilter(doc, m)
         val payload = key match {
-          case Some((k, aes)) => PdfCrypt.decryptData(k, aes, srcNum, 0, raw)
-          case None => raw // streams cannot live in ObjStm, so no skip here
+          case Some((k, aes)) if !storedPlain =>
+            PdfCrypt.decryptData(k, aes, srcNum, doc.genOf(srcNum), raw)
+          case _ => raw // streams cannot live in ObjStm, so no other skip here
         }
         val dict = m.updated("Length", PNum(payload.length.toDouble))
         serDict(dict, srcNum) + "\nstream\n" +
@@ -203,7 +250,9 @@ object PdfRewrite {
         .mkString("<< ", " ", " >>")
 
     w("%PDF-1.4\n")
-    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(1)
+    val catMeta = keptMetadataNum.map(n => s" /Metadata ${renumber(n)} 0 R").getOrElse("")
+    w(s"<< /Type /Catalog /Pages 2 0 R$catMeta >>\nendobj\n")
     beginObj(2)
     w(s"<< /Type /Pages /Count ${kept.length} /Kids [ ${kept.indices.map(i => s"${3 + i} 0 R").mkString(" ")} ] >>\nendobj\n")
     kept.zipWithIndex.foreach { case (p, i) =>

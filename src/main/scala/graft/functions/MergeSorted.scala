@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructType}
   *
   * Input: `array<array<struct<offset:int, ...>>>` (each inner array sorted
   * by `offset` ascending). Output: `array<struct<...>>` merged ascending.
-  * Ties (equal offsets across sub-lists) break by sub-list index, keeping
-  * the merge deterministic.
+  * Ties (equal offsets across sub-lists) break by the FULL struct under
+  * Catalyst's interpreted row ordering — the same total order `array_sort`
+  * applies to struct elements — so the skew-aware assemble and the
+  * single-phase `array_sort(collect_list(...))` assemble produce identical
+  * span streams even when a document carries duplicate offsets.
   */
 case class MergeSortedArrays(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -41,6 +44,17 @@ case class MergeSortedArrays(child: Expression)
   private lazy val numFields: Int = child.dataType match {
     case ArrayType(ArrayType(st: StructType, _), _) => st.fields.length
     case _ => 0
+  }
+
+  /** array_sort's struct order (field-by-field, nulls first) for offset
+    * ties; the common path stays on the primitive getInt(0) comparison.
+    */
+  private lazy val structOrdering
+      : org.apache.spark.sql.catalyst.expressions.InterpretedOrdering = {
+    val st = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    org.apache.spark.sql.catalyst.expressions.InterpretedOrdering
+      .forSchema(st.fields.toIndexedSeq.map(_.dataType))
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -69,6 +83,12 @@ case class MergeSortedArrays(child: Expression)
           // best < 0 guard (not an Int.MaxValue sentinel): an element whose
           // offset IS Int.MaxValue must still be selectable
           if (best < 0 || off < bestOffset) { bestOffset = off; best = j }
+          else if (off == bestOffset &&
+              structOrdering.compare(
+                l.getStruct(pos(j), numFields),
+                lists(best).getStruct(pos(best), numFields)) < 0) {
+            best = j // full-struct tie-break = array_sort parity
+          }
         }
         j += 1
       }

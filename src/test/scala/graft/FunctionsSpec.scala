@@ -155,4 +155,28 @@ class FunctionsSpec extends AnyFunSuite {
       .select(explode(col("m")).as("s")).select(col("s.offset")).as[Int].collect().toSeq
     assert(gotMax == Seq(5, Int.MaxValue))
   }
+  test("merge_sorted_arrays: equal-offset ties order by full struct, matching array_sort") {
+    import spark.implicits._
+    import graft.functions.MergeSorted
+    // duplicate offsets with distinct (kind, text): the two assemble paths
+    // must produce IDENTICAL span streams, so the k-way merge breaks ties
+    // by the full struct exactly like array_sort — not by sub-list index
+    val rows = Seq(
+      ("d", 3, "zz", "t1", ""), ("d", 3, "aa", "t2", ""), ("d", 3, "mm", "t3", ""),
+      ("d", 1, "b", "x", ""), ("d", 3, "aa", "t0", "m"), ("d", 7, "c", "y", ""))
+    val flat = rows.toDF("doc_id", "offset", "kind", "text", "media_ref")
+    def seqOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String, String)] =
+      df.select(explode(col("sorted")).as("s"))
+        .select(col("s.offset"), col("s.kind"), col("s.text"), col("s.media_ref"))
+        .as[(Int, String, String, String)].collect().toSeq
+    val single = flat.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"), col("text"), col("media_ref")))).as("sorted"))
+    // force the ties into DIFFERENT salt sub-lists
+    val skew = flat.withColumn("salt", pmod(monotonically_increasing_id(), lit(3)))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"), col("text"), col("media_ref")))).as("part"))
+      .groupBy(col("doc_id"))
+      .agg(MergeSorted.mergeSortedArrays(collect_list(col("part"))).as("sorted"))
+    assert(seqOf(skew) == seqOf(single))
+  }
 }

@@ -207,6 +207,131 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(PdfRewrite.decryptPdf(aes, "bad").isLeft)
   }
 
+  test("hybrid-reference xref: /XRefStm entries beat the classic section's free tombstones") {
+    // §7.5.8.4: hybrid files mark ObjStm-compressed objects FREE in the
+    // classic table; their real type-2 entries live in the /XRefStm stream,
+    // which takes precedence. A first-wins install of the classic section
+    // would tombstone the Pages/Page objects and silently report 0 pages.
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val off1 = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val off4 = out.size(); w("4 0 obj\n<< /Length 0 >>\nstream\n\nendstream\nendobj\n")
+    // ObjStm (obj 6, uncompressed) carrying obj 2 (Pages) and obj 3 (Page)
+    val o2 = "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 200 300 ] /Contents 4 0 R >>"
+    val header = s"2 0 3 ${o2.length + 1} "
+    val payload = header + o2 + " " + o3
+    val off6 = out.size()
+    w(s"6 0 obj\n<< /Type /ObjStm /N 2 /First ${header.length} /Length ${payload.length} >>\nstream\n$payload\nendstream\nendobj\n")
+    // xref STREAM (obj 5, uncompressed, W [1 2 1]): the authoritative entries
+    val off5 = out.size()
+    def e(ty: Int, f2: Int, f3: Int): Array[Byte] =
+      Array(ty.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+    val rows = Array(e(0, 0, 255), e(1, off1, 0), e(2, 6, 0), e(2, 6, 1),
+      e(1, off4, 0), e(1, off5, 0), e(1, off6, 0)).flatten
+    w(s"5 0 obj\n<< /Type /XRef /Size 7 /W [ 1 2 1 ] /Index [ 0 7 ] /Root 1 0 R /Length ${rows.length} >>\nstream\n")
+    out.write(rows)
+    w("\nendstream\nendobj\n")
+    // classic table: hybrid convention — ObjStm-carried objects marked free
+    val xrefAt = out.size()
+    w("xref\n0 7\n")
+    w("0000000000 65535 f \n")
+    w(f"$off1%010d 00000 n \n")
+    w("0000000000 00000 f \n") // obj 2: FREE here, real entry in XRefStm
+    w("0000000000 00000 f \n") // obj 3: FREE here, real entry in XRefStm
+    w(f"$off4%010d 00000 n \n")
+    w("0000000000 00000 f \n") // the XRefStm object itself is hidden too
+    w(f"$off6%010d 00000 n \n")
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /XRefStm $off5 >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val info = PdfBytes.pdfInfo(out.toByteArray).fold(e => fail(e), identity)
+    assert(info.pageCount == 1)
+    assert(info.pageDims == Seq(PdfBytes.PageDim(200.0, 300.0)))
+  }
+
+  test("gen>0 objects derive per-object keys from the xref generation") {
+    import graft.extract.{PdfCrypt, PdfRewrite}
+    val title = "generation-one title"
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def hex(b: Array[Byte]): String = "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+    val pwd = Array.emptyByteArray
+    val id0 = PdfCrypt.md5("gen1-test".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO(pwd, pwd, 3, 16)
+    val perm = -44
+    val key = PdfCrypt.fileKey(pwd, o, perm, id0, 3, 16)
+    val u = PdfCrypt.computeU(key, id0, 3) ++ new Array[Byte](16)
+    val offsets = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (offset, gen)
+    def obj(num: Int, gen: Int, body: String): Unit = {
+      offsets += ((out.size(), gen)); w(s"$num $gen obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1, 0, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, 0, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    obj(3, 0, "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 100 200 ] /Contents 4 0 R >>")
+    obj(4, 0, "<< /Length 0 >>\nstream\n\nendstream")
+    // the Info object lives at GENERATION 1: Algorithm 1 hashes (num, gen),
+    // so keying it as gen 0 decrypts to garbage
+    val tEnc = PdfCrypt.encryptString(key, 5, 1, title.getBytes("ISO-8859-1"))
+    obj(5, 1, s"<< /Title ${hex(tEnc)} >>")
+    obj(6, 0, s"<< /Filter /Standard /V 2 /Length 128 /R 3 /O ${hex(o)} /U ${hex(u)} /P $perm >>")
+    val xrefAt = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    offsets.foreach { case (off, g) => w(f"$off%010d $g%05d n \n") }
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /Info 5 1 R /Encrypt 6 0 R /ID [ ${hex(id0)} ${hex(id0)} ] >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val bytes = out.toByteArray
+    assert(PdfBytes.pdfInfo(bytes).fold(e => fail(e), identity).title == title)
+    // decryptPdf's copy path must also key the gen-1 strings correctly
+    val dec = PdfRewrite.decryptPdf(bytes, "").fold(e => fail(e), identity)
+    assert(PdfBytes.pdfInfo(dec).fold(e => fail(e), identity).title == title)
+  }
+
+  test("EncryptMetadata=false: plaintext XMP and Crypt-Identity streams copy verbatim") {
+    import graft.extract.{PdfCrypt, PdfRewrite}
+    val xmp = "<x:xmpmeta GRAFT-PLAINTEXT-MARKER attr='v'/>"
+    val idPayload = "IDENTITY-CRYPT-PLAINTEXT-PAYLOAD"
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def hex(b: Array[Byte]): String = "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+    val pwd = Array.emptyByteArray
+    val id0 = PdfCrypt.md5("plain-meta-test".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO(pwd, pwd, 4, 16)
+    val perm = -44
+    // R=4 with EncryptMetadata=false changes the key derivation (extra
+    // ffffffff salt) — both sides must agree
+    val key = PdfCrypt.fileKey(pwd, o, perm, id0, 4, 16, encryptMetadata = false)
+    val u = PdfCrypt.computeU(key, id0, 4) ++ new Array[Byte](16)
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(num: Int, body: String): Unit = { offsets += out.size(); w(s"$num 0 obj\n$body\nendobj\n") }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R /Metadata 7 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 100 200 ] /Contents 4 0 R /GraftX 8 0 R >>")
+    obj(4, "<< /Length 0 >>\nstream\n\nendstream")
+    val tEnc = PdfCrypt.encryptString(key, 5, 0, "meta title".getBytes("ISO-8859-1"))
+    obj(5, s"<< /Title ${hex(tEnc)} >>")
+    obj(6, "<< /Filter /Standard /V 4 /Length 128 /CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen >> >> " +
+      s"/StmF /StdCF /StrF /StdCF /R 4 /O ${hex(o)} /U ${hex(u)} /P $perm /EncryptMetadata false >>")
+    // the XMP metadata stream is stored PLAINTEXT (EncryptMetadata false)
+    obj(7, s"<< /Type /Metadata /Subtype /XML /Length ${xmp.length} >>\nstream\n$xmp\nendstream")
+    // a /Crypt Identity-filtered stream is stored plaintext too (§7.4.10)
+    obj(8, "<< /Filter /Crypt /DecodeParms << /Type /CryptFilterDecodeParms /Name /Identity >> " +
+      s"/Length ${idPayload.length} >>\nstream\n$idPayload\nendstream")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R /Info 5 0 R /Encrypt 6 0 R /ID [ ${hex(id0)} ${hex(id0)} ] >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val bytes = out.toByteArray
+    val opened = PdfBytes.pdfInfo(bytes).fold(e => fail(e), identity)
+    assert(!opened.isEncrypted && opened.title == "meta title")
+    val dec = PdfRewrite.decryptPdf(bytes, "").fold(e => fail(e), identity)
+    val decStr = new String(dec, "ISO-8859-1")
+    // verbatim copies — a wrongly-applied RC4 pass would garble both
+    assert(decStr.contains(xmp), "XMP metadata must copy verbatim")
+    assert(decStr.contains(idPayload), "Crypt-Identity stream must copy verbatim")
+    assert(PdfBytes.pdfInfo(dec).fold(e => fail(e), identity).title == "meta title")
+  }
+
   test("encrypted trailer returns the reference's basic-info shape") {
     // synthesize: take a built pdf and splice /Encrypt into the trailer
     val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")
