@@ -573,6 +573,29 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_count", "width0", "width1", "height0")
     }),
+    "q_pdf_text" -> ((s, dir) => {
+      // content-REAL PDF text extraction round-trip: per-doc PDFs whose
+      // pages carry real Flate-compressed content streams (rotating
+      // literal-Tj / hex-Tj / kerned-TJ show forms, Helvetica+WinAnsi) →
+      // full content-stream interpretation (BT/ET, Td, font decode, line
+      // assembly) → per-page text whose every character the oracle
+      // reproduces arithmetically. The REAL-world path is golden-locked in
+      // PdfTextSpec against the reference fixtures via the independent
+      // tools/pdf_text_oracle.py second implementation.
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].flatMap { id =>
+          val n = 1 + (id % 3).toInt
+          val pages = (1 to n).map { p =>
+            Seq(s"Doc $id page $p", s"Lorem body ${(id + p) % 10}", s"alpha beta-${id % 4}")
+          }
+          val bytes = graft.extract.PdfText.buildTextPdf(pages)
+          val texts = graft.extract.PdfText.pageTexts(bytes)
+            .fold(e => throw new IllegalStateException(e), identity)
+          texts.zipWithIndex.map { case (t, i) => (id, i + 1, t) }
+        }
+        .toDF("doc_id", "page", "page_text")
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1176,6 +1199,15 @@ object SparkEntry {
         |  CAST(300 + doc_id % 200 AS DOUBLE) AS width1,
         |  CAST(400 + doc_id % 100 AS DOUBLE) AS height0
         |FROM documents""".stripMargin,
+    "q_pdf_text" ->
+      // the text writer's params are arithmetic in doc_id; the
+      // content-stream interpreter must reconstruct every line exactly
+      """SELECT doc_id, CAST(p AS INT) AS page,
+        |  'Doc ' || doc_id || ' page ' || p || chr(10) ||
+        |  'Lorem body ' || (doc_id + p) % 10 || chr(10) ||
+        |  'alpha beta-' || (doc_id % 4) AS page_text
+        |FROM documents, (SELECT unnest([1,2,3]) AS p) t
+        |WHERE p <= 1 + doc_id % 3""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

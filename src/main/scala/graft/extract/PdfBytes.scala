@@ -49,8 +49,10 @@ object PdfBytes {
   private def isDelim(b: Byte) = Delim.contains(b)
 
   // ------------------------------------------------------------ lexer/parser
-  /** Recursive-descent parser over the file buffer; `pos` is mutable. */
-  private final class Parser(val d: Array[Byte], var pos: Int) {
+  /** Recursive-descent parser over the file buffer; `pos` is mutable.
+    * Shared with [[PdfText]]'s content-stream tokenizer.
+    */
+  private[extract] final class Parser(val d: Array[Byte], var pos: Int) {
 
     def skipWs(): Unit = {
       while (pos < d.length) {
@@ -519,6 +521,18 @@ object PdfBytes {
       * copy unit for [[PdfRewrite]].
       */
     private[extract] def rawObject(num: Int): PObj = loadObj(num)
+
+    /** Resolves `ref` to a stream and returns its fully-decoded payload
+      * (decrypted under the stream object's own key when the file is
+      * encrypted, then de-filtered) — the content-stream read path for
+      * [[PdfText]].
+      */
+    private[extract] def decodedStream(ref: PObj): Option[Array[Byte]] = resolve(ref) match {
+      case s: PStream =>
+        val num = ref match { case PRef(n, _) => Some(n); case _ => None }
+        Some(decode(s, carrierNum = num))
+      case _ => None
+    }
 
     def dict(o: PObj): Map[String, PObj] = resolve(o) match {
       case PDict(m) => m

@@ -122,22 +122,43 @@ object Pipeline {
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
-  /** Structure-only extraction for ingested PDF bytes ([[graft.extract
-    * .PdfBytes]] container parse; the Latin-1 string round-trips the raw
-    * bytes exactly). Content extraction needs OCR/layout ML the reference
-    * delegates to external services — out of scope by design — but the
-    * structure is REAL: page count (one page_break span per page, so the
-    * span-level pageCount convention agrees), Info-dict title, dims and the
-    * encryption flag in metadata. A locked PDF is a successful row with
-    * page_count 0 (the reference's basic encrypted shape); a corrupt one is
-    * a failure row.
+  /** Content-real extraction for ingested PDF bytes: [[graft.extract
+    * .PdfBytes]] container parse for structure (page count, Info title,
+    * dims, encryption flag) plus the [[graft.extract.PdfText]]
+    * content-stream interpreter for the page TEXT — each page emits its
+    * page_break marker followed by one text span per assembled paragraph
+    * (reading-order lines merged on leading/size steps). Image XObjects are
+    * surfaced by the interpreter but not emitted as spans here: their
+    * BYTES would need the raster codecs the container lacks, and a media
+    * span without a payload would break the sidecar contract — documented
+    * bound, not a fake. A locked PDF is a successful row with page_count 0
+    * (the reference's basic encrypted shape); a corrupt one is a failure
+    * row; a structure-parseable file whose content streams fail to
+    * interpret degrades to the page_break skeleton with the error recorded
+    * in metadata.
     */
   private def extractPdfOne(r: RawDoc): ExtractOut = {
     val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     graft.extract.PdfBytes.pdfInfo(bytes) match {
       case Right(info) =>
-        val spans = (1 to info.pageCount).map(i =>
-          Span(graft.model.SpanKind.PageBreak, s"""{"next_page":$i}""", "", i - 1))
+        val (pageParas: Seq[Seq[String]], textError: String) =
+          if (info.isEncrypted || info.pageCount == 0) (Nil, "")
+          else graft.extract.PdfText.extract(bytes) match {
+            case Right(pages) =>
+              (pages.map(p => graft.extract.PdfText.paragraphs(p.lines)
+                .map(_.trim).filter(_.nonEmpty)), "")
+            case Left(err) => (Nil, err)
+          }
+        val spans = {
+          val out = scala.collection.mutable.ArrayBuffer[Span]()
+          (1 to info.pageCount).foreach { i =>
+            out += Span(graft.model.SpanKind.PageBreak, s"""{"next_page":$i}""", "", out.length)
+            pageParas.lift(i - 1).getOrElse(Nil).foreach { para =>
+              out += Span(graft.model.SpanKind.Text, para, "", out.length)
+            }
+          }
+          out.toSeq
+        }
         val name = r.source_path.substring(r.source_path.lastIndexOf('/') + 1)
         val stem =
           if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
@@ -146,7 +167,8 @@ object Pipeline {
           "pdf_encrypted" -> info.isEncrypted.toString) ++
           info.pageDims.headOption.map(d => Map(
             "pdf_width0" -> d.width.toString,
-            "pdf_height0" -> d.height.toString)).getOrElse(Map.empty)
+            "pdf_height0" -> d.height.toString)).getOrElse(Map.empty) ++
+          (if (textError.nonEmpty) Map("pdf_text_error" -> textError) else Map.empty)
         ExtractOut(r.doc_id, spans, r.mime_type, info.pageCount, "",
           title = if (info.title.nonEmpty) info.title else stem,
           source_path = r.source_path, media = Nil, metadata = metadata)

@@ -1,0 +1,132 @@
+package graft
+
+import graft.extract.{PdfBytes, PdfText}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-stream text extraction against the reference's REAL fixture PDFs.
+  * Expected values (page/line counts, first lines, and the SHA-256 of the
+  * full extracted text) were established by the independent second
+  * implementation `tools/pdf_text_oracle.py` — run it with --hash to
+  * regenerate; both implement the same public-spec contract from scratch
+  * and agree byte-for-byte.
+  */
+class PdfTextSpec extends AnyFunSuite {
+
+  private val resources = "/root/reference/tests/resources"
+
+  private def read(p: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  private def fullText(pages: Seq[PdfText.PageContent]): String =
+    pages.map(_.lines.map(_.text).mkString("\n")).mkString("\f")
+
+  test("pdf_sample.pdf: full text matches the independent oracle byte-for-byte") {
+    val f = new java.io.File(s"$resources/pdf_sample.pdf")
+    assume(f.exists(), "reference fixtures not present")
+    val pages = PdfText.extract(read(f.getPath)).fold(e => fail(e), identity)
+    assert(pages.map(_.page) == Seq(1, 2, 3, 4))
+    assert(pages.map(_.lines.size) == Seq(34, 39, 38, 0)) // page 4 is image-only
+    assert(pages.head.lines.head.text == "Lorem ipsum")
+    assert(pages.head.lines.head.size == 28.0) // the title's font size survives
+    assert(pages(1).lines.head.text ==
+      "In non mauris justo. Duis vehicula mi vel mi pretium, a viverra erat efficitur. Cras aliquam")
+    // tools/pdf_text_oracle.py pdf_sample.pdf --hash
+    assert(sha256(fullText(pages)) ==
+      "76940ba0f49b28dcabc541e83481df39cc226a1ac05d2b959e937eae3f400887")
+  }
+
+  test("pdf_sample_page_nums.pdf: full text matches the independent oracle byte-for-byte") {
+    val f = new java.io.File(s"$resources/pdf_sample_page_nums.pdf")
+    assume(f.exists(), "reference fixtures not present")
+    val pages = PdfText.extract(read(f.getPath)).fold(e => fail(e), identity)
+    assert(pages.map(_.lines.size) == Seq(157, 65, 193))
+    assert(pages(2).lines.head.text == "6.3")
+    // tools/pdf_text_oracle.py pdf_sample_page_nums.pdf --hash
+    assert(sha256(fullText(pages)) ==
+      "addae31c3c19c992b127394a0657084795b7aa4efcef01dc3e50bd2289514fbd")
+  }
+
+  test("writer->interpreter round-trip: literal Tj, hex Tj, kerned TJ, Flate and raw") {
+    val docs = Seq(
+      Seq(Seq("Doc 1 page 1", "Lorem body 2", "alpha beta-1")),
+      Seq(
+        Seq("first line", "second line", "third and fourth"),
+        Seq("page two a", "page two b", "gamma delta words")),
+      Seq(Seq("single")))
+    for (pages <- docs; compress <- Seq(true, false)) {
+      val bytes = PdfText.buildTextPdf(pages, compress)
+      val got = PdfText.pageTexts(bytes).fold(e => fail(e), identity)
+      assert(got == pages.map(_.mkString("\n")), s"compress=$compress")
+    }
+  }
+
+  test("escapes round-trip through literal strings") {
+    val lines = Seq("paren (x) and \\slash", "hex <b> line", "tail kern line")
+    val got = PdfText.pageTexts(PdfText.buildTextPdf(Seq(lines))).fold(e => fail(e), identity)
+    assert(got == Seq(lines.mkString("\n")))
+  }
+
+  test("encrypted text PDFs: locked is Left; structure PDFs give empty pages") {
+    // buildPdf's pages carry EMPTY content streams: extract succeeds with
+    // page count preserved and zero lines
+    val plain = PdfBytes.buildPdf(Seq((100.0, 200.0), (300.0, 400.0)), "t", "a")
+    val pages = PdfText.extract(plain).fold(e => fail(e), identity)
+    assert(pages.length == 2 && pages.forall(_.lines.isEmpty))
+    val locked = PdfBytes.buildPdf(Seq((100.0, 200.0)), "t", "a", Some(("pw", 3)))
+    assert(PdfText.extract(locked).isLeft)
+    assert(PdfText.extract(locked, Some("pw")).isRight)
+  }
+
+  test("ToUnicode CMap: bfchar, bfrange with increment, bfrange with array") {
+    val cm = ("""/CIDInit/ProcSet findresource begin
+      |begincmap
+      |1 begincodespacerange
+      |<00> <FF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<01> <0041>
+      |<02> <00480069>
+      |endbfchar
+      |1 beginbfrange
+      |<10> <12> <0061>
+      |endbfrange
+      |1 beginbfrange
+      |<20> <21> [<005A> <0079>]
+      |endbfrange
+      |endcmap
+      |""").stripMargin.getBytes("ISO-8859-1")
+    val m = PdfText.parseToUnicode(cm)
+    assert(m(0x01) == "A")
+    assert(m(0x02) == "Hi") // multi-unit target
+    assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c")
+    assert(m(0x20) == "Z" && m(0x21) == "y")
+  }
+
+  test("paragraphs: leading-step and size-jump breaks") {
+    import PdfText.Line
+    val lines = Seq(
+      Line(72, 700, 400, 18, "Heading"),
+      Line(72, 670, 400, 12, "body one"),
+      Line(72, 655, 400, 12, "body two"),
+      Line(72, 600, 400, 12, "new para"))
+    val got = PdfText.paragraphs(lines)
+    assert(got == Seq("Heading", "body one body two", "new para"))
+  }
+
+  test("Encodings: WinAnsi high block, MacRoman, glyph names, uniXXXX") {
+    import graft.extract.Encodings
+    assert(Encodings.base("WinAnsiEncoding")(0x93) == "“")
+    assert(Encodings.base("WinAnsiEncoding")(0xe9) == "é")
+    assert(Encodings.base("MacRomanEncoding")(0x8e) == "é")
+    assert(Encodings.base("MacRomanEncoding")(0xd0) == "–")
+    assert(Encodings.base("StandardEncoding")(0xa1) == "¡")
+    assert(Encodings.glyphChar("eacute") == "é")
+    assert(Encodings.glyphChar("uni20AC") == "€")
+    assert(Encodings.glyphChar("u1F600") == new String(Character.toChars(0x1F600)))
+    assert(Encodings.glyphChar("nosuchglyphname") == "�")
+  }
+}
