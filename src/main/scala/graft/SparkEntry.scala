@@ -596,6 +596,31 @@ object SparkEntry {
         }
         .toDF("doc_id", "page", "page_text")
     }),
+    "q_docx" -> ((s, dir) => {
+      // byte-level DOCX round-trip through the REAL ingestion route:
+      // deterministic per-doc .docx (ZIP + WordprocessingML: heading,
+      // body, 1-3 list items, a pipe table, a page break on even ids) →
+      // Ingest.toRawDoc → Pipeline.extractOne → span stream whose every
+      // field the oracle reproduces arithmetically
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          import graft.extract.DocxExtract._
+          val listItems = (0 until (1 + (id % 3)).toInt).map(k => Para(s"- item-$k"))
+          val blocks = Seq(
+            Para(s"# Heading ${id % 7}"),
+            Para(s"Body alpha ${(id * 3) % 11}")) ++ listItems ++ Seq(
+            Table(s"|Lorem|Ipsum|\n|---|---|\n|${id % 9}|${id % 8}|")) ++
+            (if (id % 2 == 0) Seq(PageBreak, Para(s"Second page text $id")) else Nil)
+          val bytes = buildDocx(s"Doc $id", blocks)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.docx", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1208,6 +1233,24 @@ object SparkEntry {
         |  'alpha beta-' || (doc_id % 4) AS page_text
         |FROM documents, (SELECT unnest([1,2,3]) AS p) t
         |WHERE p <= 1 + doc_id % 3""".stripMargin,
+    "q_docx" ->
+      // the docx writer's params are arithmetic in doc_id; n_spans =
+      // page breaks (1 + even) + heading + body + list (1+id%3) + table
+      // + second-page text (even)
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS page_count,
+        |  CAST(5 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT) AS n_spans,
+        |  '# Heading ' || (doc_id % 7) || chr(10) ||
+        |  'Body alpha ' || ((doc_id * 3) % 11) || chr(10) ||
+        |  '- item-0' ||
+        |  CASE WHEN doc_id % 3 >= 1 THEN chr(10) || '- item-1' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 >= 2 THEN chr(10) || '- item-2' ELSE '' END ||
+        |  chr(10) || '|Lorem|Ipsum|' || chr(10) || '|---|---|' || chr(10) ||
+        |  '|' || (doc_id % 9) || '|' || (doc_id % 8) || '|' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Second page text ' || doc_id ELSE '' END
+        |    AS text_all
+        |FROM documents""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

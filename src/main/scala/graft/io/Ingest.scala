@@ -279,6 +279,11 @@ object Ingest {
         RawDoc(relPath, "pdf_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
+      case "application/vnd.openxmlformats-officedocument.wordprocessingml.document" =>
+        // byte-level DOCX route (Pipeline.extractDocxOne): ZIP+XML parse
+        RawDoc(relPath, "docx_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on

@@ -74,6 +74,7 @@ object Pipeline {
   def extractOne(r: RawDoc): ExtractOut =
     try {
       if (r.payload_kind == "pdf_bytes") return extractPdfOne(r)
+      if (r.payload_kind == "docx_bytes") return extractDocxOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -172,6 +173,28 @@ object Pipeline {
         ExtractOut(r.doc_id, spans, r.mime_type, info.pageCount, "",
           title = if (info.title.nonEmpty) info.title else stem,
           source_path = r.source_path, media = Nil, metadata = metadata)
+      case Left(err) =>
+        ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** Byte-level DOCX extraction ([[graft.extract.DocxExtract]]: JDK ZIP +
+    * StAX over word/document.xml) — headings/lists/tables/page-breaks in
+    * the markdown span grammar, dc:title from docProps/core.xml with the
+    * filename-stem fallback. Malformed files are failure rows.
+    */
+  private def extractDocxOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.DocxExtract.extract(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.DocxExtract.toSpans(doc)
+        val name = r.source_path.substring(r.source_path.lastIndexOf('/') + 1)
+        val stem =
+          if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.pageCount, "",
+          title = if (doc.title.nonEmpty) doc.title else stem,
+          source_path = r.source_path, media = Nil,
+          metadata = Map("docx_blocks" -> doc.blocks.size.toString))
       case Left(err) =>
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
