@@ -531,8 +531,10 @@ object SparkEntry {
       // whose every value the oracle reproduces arithmetically
       // crypto coverage rides the same row: id%7==3 docs are locked with a
       // real password (parse w/o password → the reference's basic encrypted
-      // shape), other id%5==2 docs are empty-user-password RC4-128 (must
-      // open FULLY — the pdf_utils.py:212-215 owner-locked case)
+      // shape; a slice of them AES-256/V5/R6), other id%5==2 docs are
+      // empty-user-password (RC4-128 or AES-256/V5 on the id%7==1 slice;
+      // must open FULLY — the pdf_utils.py:212-215 owner-locked case).
+      // The oracle is revision-agnostic: locked vs open is all it sees.
       import s.implicits._
       val media = tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].map { id =>
@@ -540,8 +542,8 @@ object SparkEntry {
           val w = 300.0 + (id % 200)
           val h = 400.0 + (id % 100)
           val encryptWith =
-            if (id % 7 == 3) Some(("locked", 3))
-            else if (id % 5 == 2) Some(("", 3))
+            if (id % 7 == 3) Some(("locked", if (id % 11 == 4) 6 else 3))
+            else if (id % 5 == 2) Some(("", if (id % 7 == 1) 6 else 3))
             else None
           val bytes = graft.extract.PdfBytes.buildPdf(
             Seq.fill(n)((w, h)), s"doc-$id", s"author-${id % 7}", encryptWith)

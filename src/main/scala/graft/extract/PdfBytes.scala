@@ -557,7 +557,7 @@ object PdfBytes {
   private[extract] case object NotEncrypted extends KeyResult
   /** empty password failed and none was provided */
   private[extract] case object Locked extends KeyResult
-  /** AES V=4/5 etc. — documented non-goal */
+  /** Non-Standard security handlers (public-key etc.) */
   private[extract] case object UnsupportedHandler extends KeyResult
   private[extract] final case class Opened(
       key: Array[Byte], aes: Boolean, encryptMetadata: Boolean = true) extends KeyResult
@@ -578,9 +578,40 @@ object PdfBytes {
         }
         val v = num("V", 0).toInt
         if (!enc.get("Filter").contains(PName("Standard"))) return UnsupportedHandler
+        def strOf(k: String): Array[Byte] = enc.get(k).map(doc.resolve(_)) match {
+          case Some(PStr(b)) => b
+          case _ => Array.emptyByteArray
+        }
+        if (v == 5) {
+          // AES-256 (AESV3, ISO 32000-2 §7.6.4): SHA-2 password hash
+          // (Algorithm 2.B for R6, plain SHA-256 for the withdrawn R5),
+          // /UE//OE unwrap the 32-byte FILE key — no per-object keys.
+          // Passwords are UTF-8, capped at 127 bytes (§7.6.4.3.2).
+          val rV5 = num("R", 6).toInt
+          val u = strOf("U"); val ue = strOf("UE")
+          val o = strOf("O"); val oe = strOf("OE")
+          val em = enc.get("EncryptMetadata").map(doc.resolve(_)) match {
+            case Some(PBool(b)) => b
+            case _ => true
+          }
+          def open(pw: Array[Byte]): Option[Array[Byte]] =
+            PdfCrypt.verifyUserPasswordV5(pw, u, ue, rV5)
+              .orElse(PdfCrypt.verifyOwnerPasswordV5(pw, o, oe, u, rV5))
+          return password match {
+            case Some(pw) =>
+              open(pw.getBytes(StandardCharsets.UTF_8).take(127)) match {
+                case Some(k) => Opened(k, aes = true, em)
+                case None => throw new IllegalStateException("Incorrect password for encrypted PDF")
+              }
+            case None =>
+              open(Array.emptyByteArray) match {
+                case Some(k) => Opened(k, aes = true, em)
+                case None => Locked
+              }
+          }
+        }
         // V1/V2 = RC4; V4 dispatches on the /StdCF crypt filter: AESV2
-        // (AES-128-CBC) or V2 (RC4 under crypt-filter framing). V5
-        // (AES-256, SHA-2 password algorithm) stays a documented non-goal.
+        // (AES-128-CBC) or V2 (RC4 under crypt-filter framing).
         val aes = v match {
           case 1 | 2 => false
           case 4 =>
@@ -697,9 +728,10 @@ object PdfBytes {
     buildPdf(pages, title, author, None)
 
   /** `encryptWith = Some((userPassword, r))` (r = 2 → RC4-40/V1, r = 3 →
-    * RC4-128/V2, r = 4 → AES-128/V4/AESV2) emits the Standard-handler
-    * /Encrypt dict with O/U entries from `PdfCrypt` and encrypts the Info
-    * strings — the encode side of the decryption round-trip tests.
+    * RC4-128/V2, r = 4 → AES-128/V4/AESV2, r = 5/6 → AES-256/V5/AESV3)
+    * emits the Standard-handler /Encrypt dict with O/U (+OE/UE/Perms for
+    * V5) entries from `PdfCrypt` and encrypts the Info strings — the
+    * encode side of the decryption round-trip tests.
     */
   def buildPdf(
       pages: Seq[(Double, Double)],
@@ -730,17 +762,26 @@ object PdfBytes {
         } + ")"
     }
 
-    // encryption state (RC4 standard handler) when requested
+    // encryption state when requested: r=2/3 RC4, r=4 AES-128/AESV2,
+    // r=5/6 AES-256/AESV3 (V5: /UE//OE carry the wrapped 32-byte file key)
     val enc = encryptWith.map { case (userPwd, r) =>
-      val pw = userPwd.getBytes(StandardCharsets.ISO_8859_1)
-      val keyLen = if (r == 2) 5 else 16
       val id0 = PdfCrypt.md5(s"$title/$author/${pages.length}".getBytes(StandardCharsets.UTF_8))
-      val oEntry = PdfCrypt.computeO(pw, pw, r, keyLen)
       val perm = -44
-      val key = PdfCrypt.fileKey(pw, oEntry, perm, id0, r, keyLen)
-      val uRaw = PdfCrypt.computeU(key, id0, r)
-      val uEntry = if (r == 2) uRaw else uRaw ++ new Array[Byte](16) // pad to 32
-      (key, id0, oEntry, uEntry, perm, r)
+      if (r >= 5) {
+        val pw = userPwd.getBytes(StandardCharsets.UTF_8).take(127)
+        val fileKey = PdfCrypt.md5("v5-key-a".getBytes, pw) ++
+          PdfCrypt.md5("v5-key-b".getBytes, pw) // deterministic 32 bytes
+        val (u, ue, o, oe) = PdfCrypt.computeV5Entries(pw, pw, fileKey, r)
+        (fileKey, id0, o, u, perm, r, Some((oe, ue)))
+      } else {
+        val pw = userPwd.getBytes(StandardCharsets.ISO_8859_1)
+        val keyLen = if (r == 2) 5 else 16
+        val oEntry = PdfCrypt.computeO(pw, pw, r, keyLen)
+        val key = PdfCrypt.fileKey(pw, oEntry, perm, id0, r, keyLen)
+        val uRaw = PdfCrypt.computeU(key, id0, r)
+        val uEntry = if (r == 2) uRaw else uRaw ++ new Array[Byte](16) // pad to 32
+        (key, id0, oEntry, uEntry, perm, r, None)
+      }
     }
     def hex(b: Array[Byte]): String = "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
     def textStringBytes(s: String): Array[Byte] =
@@ -750,9 +791,11 @@ object PdfBytes {
       * AES-CBC when r = 4), hex-emitted.
       */
     def infoString(s: String, objNum: Int): String = enc match {
-      case Some((key, _, _, _, _, r)) if r == 4 =>
+      case Some((key, _, _, _, _, r, _)) if r >= 5 =>
+        hex(PdfCrypt.encryptAesFileKey(key, textStringBytes(s)))
+      case Some((key, _, _, _, _, r, _)) if r == 4 =>
         hex(PdfCrypt.encryptAes(key, objNum, 0, textStringBytes(s)))
-      case Some((key, _, _, _, _, _)) =>
+      case Some((key, _, _, _, _, _, _)) =>
         hex(PdfCrypt.encryptString(key, objNum, 0, textStringBytes(s)))
       case None => pdfString(s)
     }
@@ -774,14 +817,19 @@ object PdfBytes {
     beginObj(contentNum); w("<< /Length 0 >>\nstream\n\nendstream\nendobj\n")
     beginObj(infoNum)
     w(s"<< /Title ${infoString(title, infoNum)} /Author ${infoString(author, infoNum)} >>\nendobj\n")
-    enc.foreach { case (_, _, oEntry, uEntry, perm, r) =>
+    enc.foreach { case (key, _, oEntry, uEntry, perm, r, v5) =>
       beginObj(encNum)
       val vLen =
-        if (r == 2) "/V 1"
+        if (r >= 5)
+          "/V 5 /Length 256 /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        else if (r == 2) "/V 1"
         else if (r == 4)
           "/V 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
         else "/V 2 /Length 128"
-      w(s"<< /Filter /Standard $vLen /R $r /O ${hex(oEntry)} /U ${hex(uEntry)} /P $perm >>\nendobj\n")
+      val v5Entries = v5.map { case (oe, ue) =>
+        s" /OE ${hex(oe)} /UE ${hex(ue)} /Perms ${hex(PdfCrypt.computePerms(key, perm, encryptMetadata = true))}"
+      }.getOrElse("")
+      w(s"<< /Filter /Standard $vLen /R $r /O ${hex(oEntry)} /U ${hex(uEntry)} /P $perm$v5Entries >>\nendobj\n")
     }
     val xrefAt = out.size()
     val n = offsets.length + 1
@@ -789,7 +837,7 @@ object PdfBytes {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     val encTrailer = enc match {
-      case Some((_, id0, _, _, _, _)) => s" /Encrypt $encNum 0 R /ID [ ${hex(id0)} ${hex(id0)} ]"
+      case Some((_, id0, _, _, _, _, _)) => s" /Encrypt $encNum 0 R /ID [ ${hex(id0)} ${hex(id0)} ]"
       case None => ""
     }
     w(s"trailer\n<< /Size $n /Root 1 0 R /Info $infoNum 0 R$encTrailer >>\nstartxref\n$xrefAt\n"); w("%%EOF\n")

@@ -7,10 +7,11 @@ import scala.collection.mutable
   * analogs of the reference's `extract_pdf_pages` (pdf_utils.py:138-184,
   * pypdf PdfWriter page subset) and `decrypt_pdf` (pdf_utils.py:90-135,
   * decrypt + re-emit). Both copy the transitive object closure from their
-  * roots into a fresh classic-xref document with renumbered objects; RC4
-  * Standard-handler files are decrypted during the copy (strings and stream
-  * payloads under each carrier object's key), so the output never carries
-  * /Encrypt.
+  * roots into a fresh classic-xref document with renumbered objects;
+  * Standard-handler files (RC4, AES-128/AESV2, AES-256/AESV3) are
+  * decrypted during the copy (strings and stream payloads under each
+  * carrier object's key, or the file key for V5), so the output never
+  * carries /Encrypt.
   *
   * Faithfulness bounds (documented, not faked): per-object decryption keys
   * use each object's XREF generation (gen>0 objects key correctly); the

@@ -332,6 +332,44 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(PdfBytes.pdfInfo(dec).fold(e => fail(e), identity).title == "meta title")
   }
 
+  test("AES-256 (V5/AESV3): R6 and R5 round-trips, owner password, Perms") {
+    import graft.extract.{PdfCrypt, PdfRewrite}
+    for (r <- Seq(6, 5)) {
+      val doc = PdfBytes.buildPdf(Seq((120.0, 240.0), (130.0, 250.0)),
+        s"v5 title r$r", s"v5 author r$r", Some(("secret256", r)))
+      // locked without the password → basic encrypted shape
+      val locked = PdfBytes.pdfInfo(doc).fold(e => fail(e), identity)
+      assert(locked.isEncrypted && locked.pageCount == 0)
+      // user password opens: structure + decrypted Info strings
+      val open = PdfBytes.pdfInfo(doc, Some("secret256")).fold(e => fail(e), identity)
+      assert(!open.isEncrypted && open.pageCount == 2)
+      assert(open.title == s"v5 title r$r" && open.author == s"v5 author r$r")
+      // wrong password raises (reference parity)
+      assert(PdfBytes.pdfInfo(doc, Some("nope")).isLeft)
+      // decryptPdf re-emits without /Encrypt, Info preserved
+      val dec = PdfRewrite.decryptPdf(doc, "secret256").fold(e => fail(e), identity)
+      val decInfo = PdfBytes.pdfInfo(dec).fold(e => fail(e), identity)
+      assert(!decInfo.isEncrypted && decInfo.title == s"v5 title r$r")
+      assert(decInfo.pageDims == Seq(PdfBytes.PageDim(120.0, 240.0), PdfBytes.PageDim(130.0, 250.0)))
+    }
+    // empty-user-password V5 docs open as not-encrypted without a password
+    val open = PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a", Some(("", 6)))
+    assert(!PdfBytes.pdfInfo(open).fold(e => fail(e), identity).isEncrypted)
+    // distinct owner password verifies through Algorithm 12 and unwraps the
+    // same file key; Perms validates under it
+    val user = "u-pass".getBytes("UTF-8")
+    val owner = "o-pass".getBytes("UTF-8")
+    val fileKey = PdfCrypt.md5("ka".getBytes) ++ PdfCrypt.md5("kb".getBytes)
+    val (u, ue, o, oe) = PdfCrypt.computeV5Entries(user, owner, fileKey, 6)
+    assert(PdfCrypt.verifyUserPasswordV5(user, u, ue, 6).exists(_.sameElements(fileKey)))
+    assert(PdfCrypt.verifyOwnerPasswordV5(owner, o, oe, u, 6).exists(_.sameElements(fileKey)))
+    assert(PdfCrypt.verifyUserPasswordV5(owner, u, ue, 6).isEmpty)
+    assert(PdfCrypt.verifyOwnerPasswordV5(user, o, oe, u, 6).isEmpty)
+    val perms = PdfCrypt.computePerms(fileKey, -44, encryptMetadata = true)
+    assert(PdfCrypt.validatePerms(fileKey, perms).contains(true))
+    assert(PdfCrypt.validatePerms(fileKey.reverse, perms).isEmpty)
+  }
+
   test("encrypted trailer returns the reference's basic-info shape") {
     // synthesize: take a built pdf and splice /Encrypt into the trailer
     val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")
