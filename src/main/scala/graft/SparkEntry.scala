@@ -307,6 +307,22 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"), sum(size(col("media_refs"))).as("n_media"))
     }),
+    "q_chunk_tokens" -> ((s, dir) => {
+      // TokenAwareChunker driver surface (token_chunker/chunker.py:39-136):
+      // greedy token-budget line accretion with overlap over the
+      // PIPELINE-extracted spans. The expected table carries per-chunk
+      // line ranges/token counts computed from generator-truth spans, so a
+      // regression in extract OR in the chunker flips the compare; the
+      // chunker algorithm itself is additionally golden-tested in
+      // ChunkerSpec against reference fixtures.
+      import s.implicits._
+      val docs = Pipeline.toDocs(Pipeline.extract(rawDocs(s, dir)))
+      docs.flatMap { d =>
+        graft.chunk.Chunkers.tokenAwareChunks(d, maxTokensPerChunk = 120).map(c =>
+          (d.doc_id, c.chunk_index, c.start_line, c.end_line, c.token_count,
+            c.content.length))
+      }.toDF("doc_id", "chunk_index", "start_line", "end_line", "token_count", "content_len")
+    }),
     "pipeline_chunk_boundaries" -> ((s, dir) => {
       // chunk → re-inject chunk_boundary comment spans → re-parse: the
       // chunk_with_boundaries path (chunkers/base.py:79-223)
@@ -689,6 +705,7 @@ object SparkEntry {
   private def edocs = s"'$expectedDir/expected_docs/*.parquet'"
   private def echunks = s"'$expectedDir/expected_chunks/*.parquet'"
   private def ebounds = s"'$expectedDir/expected_boundaries/*.parquet'"
+  private def etchunks = s"'$expectedDir/expected_token_chunks/*.parquet'"
 
   /** DuckDB-runnable oracles, column-aligned with the Spark results. The
     * span-pipeline oracles read the generator-truth side tables (the
@@ -769,6 +786,9 @@ object SparkEntry {
       s"SELECT doc_id, n_chunks, n_media FROM $echunks",
     "pipeline_chunk_boundaries" ->
       s"SELECT doc_id, n_chunks, n_boundaries FROM $ebounds",
+    "q_chunk_tokens" ->
+      s"""SELECT doc_id, chunk_index, start_line, end_line, token_count, content_len
+        |FROM $etchunks""".stripMargin,
     "q_verify_join" ->
       s"""SELECT TRUE AS matches, count(DISTINCT doc_id) AS n_docs
         |FROM $espans""".stripMargin,

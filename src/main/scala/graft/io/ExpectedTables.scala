@@ -55,6 +55,18 @@ object ExpectedTables {
     }.toDF("doc_id", "n_chunks", "n_media")
       .write.mode("overwrite").parquet(s"$dir/expected_chunks")
 
+    // per-chunk TokenAwareChunker truth (q_chunk_tokens): line ranges,
+    // token counts and content lengths from the generator's expected spans
+    // — independent of the extract stage the query runs through
+    spark.range(nDocs).flatMap { i =>
+      val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i)
+      val chunks = Chunkers.tokenAwareChunks(
+        Doc(g.raw.doc_id, g.expected), maxTokensPerChunk = 120)
+      chunks.map(c => (g.raw.doc_id, c.chunk_index, c.start_line, c.end_line,
+        c.token_count, c.content.length))
+    }.toDF("doc_id", "chunk_index", "start_line", "end_line", "token_count", "content_len")
+      .write.mode("overwrite").parquet(s"$dir/expected_token_chunks")
+
     // mirrors the pipeline_chunk_boundaries query's chunk → inject → reparse
     spark.range(nDocs).map { i =>
       val g = SyntheticDocs.generate(SyntheticDocs.CorpusSeed, i)

@@ -274,23 +274,31 @@ object Dedup {
     * lists alone cannot drop duplicates transitively: a~b, b~c must
     * collapse a,b,c into ONE cluster even when a~c was never emitted).
     *
-    * Iterative min-label propagation: each round is one shuffle join +
-    * min-aggregate; the minimum label travels one hop per round, so rounds
-    * = component diameter. Near-dup components are tiny cliques/short
-    * chains (diameter ≤ ~3) so this converges in 2-4 rounds at any corpus
-    * scale — the per-round cost is O(|edges|) shuffle, never O(n²). For
-    * adversarial long-chain graphs the alternating small-star/large-star
-    * contraction (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14) drops rounds to O(log n) with the same join
-    * primitive — documented upgrade path, not needed for near-dup shapes.
-    * Each round is `localCheckpoint`ed: iterative self-joins otherwise
-    * accumulate lineage and replan from scratch every round.
+    * Iterative min-label propagation WITH pointer jumping: each round does
+    * (1) a one-hop neighbor-min join and (2) a label(label) shortcut join —
+    * the classic path-doubling step — so the remaining distance to the
+    * component minimum roughly HALVES per round and rounds = O(log
+    * diameter), not O(diameter). A 1000-node chain converges in ~10 rounds
+    * (ComponentsSpec locks this); near-dup cliques still finish in 2-3.
+    * Per-round cost is two O(|labels|+|edges|) shuffle joins, never O(n²).
+    * The alternating small-star/large-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) achieves the
+    * same bound by rewriting the edge set; the pointer-jump variant keeps
+    * the edge set constant, which is cheaper when edges >> nodes (the
+    * near-dup regime).
+    *
+    * Each round's labels are checkpointed to break the iterative-self-join
+    * lineage blowup: RELIABLY (HDFS-durable `checkpoint`, survives executor
+    * loss mid-query) when the session has a checkpoint dir
+    * (`sparkContext.setCheckpointDir`); `localCheckpoint` otherwise —
+    * executor-local blocks, fine single-box, lossy on a cluster, so
+    * cluster deployments should set the dir.
     *
     * @return (doc_id, cluster_id) for EVERY node — singletons keep their
-    *         own id, members carry the component's minimum doc_id. If a
-    *         component's diameter exceeds `maxIters` the labels come back
+    *         own id, members carry the component's minimum doc_id. If
+    *         log2(diameter) exceeds `maxIters` the labels come back
     *         partially propagated (over-segmented, never wrongly merged) —
-    *         raise `maxIters` or switch to star-contraction for such graphs.
+    *         raise `maxIters` for such graphs.
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -299,24 +307,33 @@ object Dedup {
       idCol: String = "doc_id",
       aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
+    val spark = nodes.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     val edges = pairs.select(col(aCol).as("e_src"), col(bCol).as("e_dst"))
       .union(pairs.select(col(bCol).as("e_src"), col(aCol).as("e_dst")))
       .persist()
     try {
-      var labels = nodes.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
-        .localCheckpoint(eager = true)
+      var labels = cp(nodes.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
+        // (1) one-hop: the min label among my neighbors
         val neigh = edges.join(labels, edges("e_dst") === labels("doc_id"))
           .groupBy(col("e_src"))
           .agg(min(col("cluster_id")).as("neigh_min"))
-        val next = labels.join(neigh, labels("doc_id") === neigh("e_src"), "left")
-          .select(labels("doc_id"),
+        val hop = labels.join(neigh, labels("doc_id") === neigh("e_src"), "left")
+          .select(labels("doc_id"), col("cluster_id").as("prev"),
             least(col("cluster_id"), coalesce(col("neigh_min"), col("cluster_id")))
-              .as("cluster_id"),
-            (coalesce(col("neigh_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
-          .localCheckpoint(eager = true)
+              .as("mid"))
+        // (2) pointer jump: label := label(label) — cluster_id always names
+        // a real node, so the shortcut join halves the remaining distance
+        val parents = hop.select(col("doc_id").as("p_id"), col("mid").as("p_label"))
+        val next = cp(hop.join(parents, hop("mid") === parents("p_id"), "left")
+          .select(hop("doc_id"),
+            least(col("mid"), coalesce(col("p_label"), col("mid"))).as("cluster_id"),
+            (least(col("mid"), coalesce(col("p_label"), col("mid"))) < col("prev")).as("chg")))
         changed = next.filter(col("chg")).limit(1).count()
         labels = next.drop("chg")
         iter += 1

@@ -36,6 +36,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(3L))
   }
 
+  test("adversarial chain-of-1000 converges within default maxIters (pointer jumping)") {
+    // a path graph of diameter 999: plain one-hop propagation would need
+    // 999 rounds; the pointer-jump shortcut brings it under log2-ish
+    // rounds, well inside the default maxIters=25
+    val n = 1000
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "every chain node must reach label 0")
+  }
+
+  test("reliable checkpoint path: with a checkpoint dir set, results are identical") {
+    // NOTE: a SparkContext's checkpoint dir cannot be unset, and the dir
+    // must outlive any later checkpoint in this shared session — so it
+    // stays for the JVM's lifetime (tmp, OS-cleaned). Suites running after
+    // this one simply exercise the reliable path too.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val nodes = (0L to 40L).toDF("doc_id")
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L))
+    // the reliable path actually wrote checkpoint data
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "reliable checkpoint must persist to the dir")
+  }
+
   test("canonical selection composes: keep doc_id == cluster_id") {
     val nodes = (0L to 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
