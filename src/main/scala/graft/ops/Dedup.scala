@@ -203,41 +203,95 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = 0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh0 = docs.select(col(idCol).as("doc_id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv =
-      if (maxDocFreq <= 0) {
-        // uncapped: the per-doc size is free (size of the array, no extra
-        // shuffle)
-        sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-          explode(col("sh")).as("shingle"))
-      } else {
-        val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        // shingles are distinct per doc, so count(*) per shingle == df;
-        // the hot list is small (ubiquitous shingles) → AQE broadcasts the
-        // anti-join when it fits
-        val hot = inv0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq)
-          .select("shingle")
-        val inv1 = inv0.join(hot, Seq("shingle"), "left_anti")
-        // per-doc set size AFTER the cap, so jaccard is exact over the
-        // capped universe (docs whose shingles were all capped drop out:
-        // they cannot contribute a pair)
-        val sizes = inv1.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        inv1.join(sizes, Seq("doc_id"))
-      }
-    val l = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-    val r = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-    l.join(r, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // length filter (lossless, both paths): J(A,B) ≥ t forces
+    // t·max(|A|,|B|) ≤ min(|A|,|B|) — prunes co-occurrence rows before the
+    // quadratic stage; 1e-9 guards the fp boundary. All filters below are
+    // lossless for the final threshold, so the result set (and the SQL
+    // oracle) is unchanged.
+    def lengthOk = greatest(col("n_a"), col("n_b")) * threshold <=
+      least(col("n_a"), col("n_b")) + lit(1e-9)
+    if (threshold < 0.5) {
+      // low thresholds: the PPJoin prefix keeps ≈(1−t) of the index — not
+      // worth the verification joins; count common shingles through one
+      // pair aggregation (plus the length filter). No array assembly: this
+      // path only needs (shingle, doc, set size) rows.
+      val inv =
+        if (maxDocFreq <= 0)
+          sh0.select(col("doc_id"), size(col("sh")).as("n_sh"),
+            explode(col("sh")).as("shingle"))
+        else {
+          val inv0 = sh0.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          // shingles are distinct per doc, so count(*) per shingle == df;
+          // the hot list is small (ubiquitous shingles) → AQE broadcasts
+          // the anti-join when it fits
+          val hot = inv0.groupBy(col("shingle"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDocFreq)
+            .select("shingle")
+          val inv1 = inv0.join(hot, Seq("shingle"), "left_anti")
+          // per-doc set size AFTER the cap, so jaccard is exact over the
+          // capped universe (docs whose shingles were all capped drop out:
+          // they cannot contribute a pair)
+          val sizes = inv1.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+          inv1.join(sizes, Seq("doc_id"))
+        }
+      val l = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+      val r = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+      l.join(r, Seq("shingle"))
+        .filter(col("id_a") < col("id_b") && lengthOk)
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard",
+          round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      // canonical global order = hash order (array_sort): the PPJoin
+      // prefix filter needs every doc's shingles under ONE total order
+      val sets =
+        if (maxDocFreq <= 0)
+          sh0.select(col("doc_id"), array_sort(col("sh")).as("sh"),
+            size(col("sh")).as("n_sh"))
+        else {
+          val inv0 = sh0.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          val hot = inv0.groupBy(col("shingle"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDocFreq)
+            .select("shingle")
+          // re-assemble the CAPPED sets (exact jaccard over the capped
+          // universe; fully-capped docs drop out)
+          inv0.join(hot, Seq("shingle"), "left_anti")
+            .groupBy(col("doc_id"))
+            .agg(array_sort(collect_list(col("shingle"))).as("sh"))
+            .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+        }
+      // high thresholds: PPJoin-style prefix candidates (Bayardo et al.
+      // All-Pairs / Xiao et al. PPJoin, both public): |A∩B| ≥ t·max forces
+      // a collision within each side's first |S| − ⌈t·|S|⌉ + 1 shingles
+      // under the global order — index ONLY that prefix (t=0.8 keeps ~20%,
+      // shrinking the quadratic stage ~25×), then verify the surviving
+      // pairs exactly against the full (capped) sets.
+      val prefixLen = greatest(
+        (col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1).cast("int"), lit(1))
+      val inv = sets.select(col("doc_id"), col("n_sh"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+      val l = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+      val r = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+      val candidates = l.join(r, Seq("shingle"))
+        .filter(col("id_a") < col("id_b") && lengthOk)
+        .select("id_a", "id_b").distinct()
+      val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("n_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("n_b"))
+      candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   // ----------------------------------------------------- embedding near-dup

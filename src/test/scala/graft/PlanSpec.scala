@@ -39,6 +39,29 @@ class PlanSpec extends AnyFunSuite {
     assert(ivfDf.queryExecution.logical.toString.toLowerCase.contains("nearestcentroid"))
   }
 
+  test("IVF index is cell-clustered and the probe join broadcasts the probes") {
+    val ivf = Similarity.ivfIndex(vecs, nCells = 4)
+    // the clustering exchange: corpus hash-partitioned on cell_id, so each
+    // probed cell's vectors are contiguous (the write-once partitionBy
+    // analog for the in-memory path)
+    assert(plan(ivf.index).contains("hashpartitioning(cell_id"), plan(ivf.index))
+    val probed = Similarity.ivfTopKWithIndex(ivf, vecs.filter(col("vec_id") < 3),
+      k = 4, nProbe = 2)
+    val p = plan(probed)
+    // probes broadcast into the clustered index — the index side is NOT
+    // re-shuffled by the join (its only exchange is the cell clustering)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // identical results to the one-shot path (same centroids, same cells)
+    val oneShot = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3),
+      k = 4, nCells = 4, nProbe = 2)
+    assert(probed.collect().toSet == oneShot.collect().toSet)
+    // the ≈√N sizing rule
+    assert(Similarity.nCellsFor(1000000L) == 1000)
+    assert(Similarity.nCellsFor(4L) == 2)
+    assert(Similarity.nCellsFor(Long.MaxValue) == 65536)
+  }
+
   test("dedup plans: survivors and banded LSH have no window sort") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"some words $i repeated $i here again and again"))
