@@ -639,6 +639,50 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_pptx" -> ((s, dir) => {
+      // byte-level PPTX through the REAL ingestion route: 1-3 slides per
+      // doc (title placeholder + one body paragraph each) → span stream
+      // the oracle reproduces arithmetically
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          import graft.extract.OfficeExtract._
+          val n = 1 + (id % 3).toInt
+          val slides = (1 to n).map { p =>
+            Slide(s"Slide ${id % 5}-$p", Seq(s"Point alpha ${(id + p) % 7}"))
+          }
+          val bytes = buildPptx(s"Deck $id", slides)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.pptx", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
+    "q_xlsx" -> ((s, dir) => {
+      // byte-level XLSX through the REAL ingestion route: two sheets
+      // (numeric + inline-string cells, sheet names from the workbook) →
+      // heading + pipe-table spans the oracle reproduces arithmetically
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          import graft.extract.OfficeExtract._
+          val sheets = Seq(
+            ("Data", Seq(
+              Seq("Name", "Value"),
+              Seq(s"item-${id % 4}", s"${id % 9}"),
+              Seq("thing", s"${id % 7}"))),
+            ("Notes", Seq(Seq(s"note-${id % 3}"))))
+          val bytes = buildXlsx(s"Book $id", sheets)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.xlsx", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1272,6 +1316,28 @@ object SparkEntry {
         |  '|' || (doc_id % 9) || '|' || (doc_id % 8) || '|' ||
         |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Second page text ' || doc_id ELSE '' END
         |    AS text_all
+        |FROM documents""".stripMargin,
+    "q_pptx" ->
+      // 3 spans per slide (page_break + title heading + body point)
+      """SELECT doc_id, 'Deck ' || doc_id AS title,
+        |  CAST(1 + doc_id % 3 AS INT) AS page_count,
+        |  CAST(3 * (1 + doc_id % 3) AS INT) AS n_spans,
+        |  string_agg('# Slide ' || (doc_id % 5) || '-' || p || chr(10) ||
+        |             'Point alpha ' || ((doc_id + p) % 7), chr(10) ORDER BY p) AS text_all
+        |FROM documents, (SELECT unnest([1,2,3]) AS p) t
+        |WHERE p <= 1 + doc_id % 3
+        |GROUP BY doc_id""".stripMargin,
+    "q_xlsx" ->
+      // per doc: page_break + '## Data' + 4-line table, then page_break +
+      // '## Notes' + 2-line (header-only) table
+      """SELECT doc_id, 'Book ' || doc_id AS title,
+        |  CAST(2 AS INT) AS page_count, CAST(6 AS INT) AS n_spans,
+        |  '## Data' || chr(10) ||
+        |  '|Name|Value|' || chr(10) || '|---|---|' || chr(10) ||
+        |  '|item-' || (doc_id % 4) || '|' || (doc_id % 9) || '|' || chr(10) ||
+        |  '|thing|' || (doc_id % 7) || '|' || chr(10) ||
+        |  '## Notes' || chr(10) ||
+        |  '|note-' || (doc_id % 3) || '|' || chr(10) || '|---|' AS text_all
         |FROM documents""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)

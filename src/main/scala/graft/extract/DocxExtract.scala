@@ -66,7 +66,7 @@ object DocxExtract {
   }
 
   // ------------------------------------------------------------ zip
-  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  private[extract] def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.Map[String, Array[Byte]]()
     try {
@@ -86,14 +86,14 @@ object DocxExtract {
   }
 
   // ------------------------------------------------------------ xml
-  private def reader(xml: Array[Byte]) = {
+  private[extract] def reader(xml: Array[Byte]) = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
     f.createXMLStreamReader(new ByteArrayInputStream(xml))
   }
 
-  private def coreTitle(xml: Array[Byte]): String = {
+  private[extract] def coreTitle(xml: Array[Byte]): String = {
     val r = reader(xml)
     try {
       while (r.hasNext) {
@@ -104,7 +104,7 @@ object DocxExtract {
     } finally r.close()
   }
 
-  private def attr(r: javax.xml.stream.XMLStreamReader, local: String): String = {
+  private[extract] def attr(r: javax.xml.stream.XMLStreamReader, local: String): String = {
     var i = 0
     while (i < r.getAttributeCount) {
       if (r.getAttributeLocalName(i) == local) return r.getAttributeValue(i)
@@ -187,14 +187,14 @@ object DocxExtract {
   }
 
   /** MarkItDown's pipe-table shape: header row, `|---|` separator, body. */
-  private def tableMd(rows: Seq[Seq[String]]): String = {
+  private[extract] def tableMd(rows: Seq[Seq[String]]): String = {
     val ncols = rows.map(_.length).max
     def rowMd(cells: Seq[String]): String =
       (cells ++ Seq.fill(ncols - cells.length)("")).mkString("|", "|", "|")
     (rowMd(rows.head) +: ("|" + "---|" * ncols) +: rows.tail.map(rowMd)).mkString("\n")
   }
 
-  private def collapseWs(s: String): String = {
+  private[extract] def collapseWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var prevWs = false
     s.foreach { c =>

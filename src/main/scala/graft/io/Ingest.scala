@@ -284,6 +284,14 @@ object Ingest {
         RawDoc(relPath, "docx_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
+      case "application/vnd.openxmlformats-officedocument.presentationml.presentation" =>
+        RawDoc(relPath, "pptx_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet" =>
+        RawDoc(relPath, "xlsx_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on

@@ -75,6 +75,8 @@ object Pipeline {
     try {
       if (r.payload_kind == "pdf_bytes") return extractPdfOne(r)
       if (r.payload_kind == "docx_bytes") return extractDocxOne(r)
+      if (r.payload_kind == "pptx_bytes") return extractPptxOne(r)
+      if (r.payload_kind == "xlsx_bytes") return extractXlsxOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -198,6 +200,44 @@ object Pipeline {
       case Left(err) =>
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
+  }
+
+  /** Byte-level PPTX extraction ([[graft.extract.OfficeExtract]]): one page
+    * per slide, title placeholders as headings. Failure rows on malformed
+    * archives, like every byte route.
+    */
+  private def extractPptxOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.OfficeExtract.extractPptx(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.OfficeExtract.pptxSpans(doc)
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.slides.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("pptx_slides" -> doc.slides.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** Byte-level XLSX extraction: one page per sheet, each a heading + pipe
+    * table (shared and inline strings resolved, sparse refs padded).
+    */
+  private def extractXlsxOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.OfficeExtract.extractXlsx(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.OfficeExtract.xlsxSpans(doc)
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.sheets.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("xlsx_sheets" -> doc.sheets.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  private def stemOf(sourcePath: String): String = {
+    val name = sourcePath.substring(sourcePath.lastIndexOf('/') + 1)
+    if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
   }
 
   /** The extract stage. `repartitionTo` forces uniform task sizing before the
