@@ -212,6 +212,134 @@ object PdfBytes {
     } finally inf.end()
   }
 
+  /** LZWDecode (§7.4.4): TIFF-convention LZW — 256 = ClearTable, 257 =
+    * EOD, 9→12-bit variable codes with EarlyChange=1 (width grows one code
+    * early, the PDF default). Legacy pre-Flate PDFs compress content
+    * streams with this.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    def resetDict(): Unit = {
+      var i = 0
+      while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+      dictSize = 258
+    }
+    resetDict()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    while (pos < data.length || bitCnt >= width) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return out.toByteArray // trailing padding
+      val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 256) { resetDict(); width = 9; prev = null }
+      else if (code == 257) return out.toByteArray
+      else {
+        val entry: Array[Byte] =
+          if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK case
+          else throw new IllegalStateException(s"bad LZW code $code")
+        out.write(entry, 0, entry.length)
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+        }
+        // EarlyChange: width bumps when the NEXT code could overflow
+        if (dictSize + earlyChange >= (1 << width) && width < 12) width += 1
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' ends. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') done = true
+      else if (!isWs(data(i))) {
+        val v = Character.digit(c, 16)
+        if (v < 0) throw new IllegalStateException(s"bad hex char '$c'")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd count: final digit followed by 0
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups, 'z' = four zero bytes, ends
+    * with '~>'; a partial final group drops its padding bytes.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    var tuple = 0L
+    var count = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && count == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (!isWs(data(i))) {
+        if (c < '!' || c > 'u') throw new IllegalStateException(s"bad a85 char '$c'")
+        tuple = tuple * 85 + (c - '!')
+        count += 1
+        if (count == 5) {
+          out.write(((tuple >> 24) & 0xff).toInt); out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+          tuple = 0; count = 0
+        }
+      }
+      i += 1
+    }
+    if (count > 0) {
+      // pad with 'u' (84) and keep count-1 bytes
+      var k = count
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val bytes = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
+        ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
+      out.write(bytes, 0, count - 1)
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte n<128 copies n+1 literals,
+    * n>128 repeats the next byte 257−n times, 128 = EOD.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val n = data(i) & 0xff
+      i += 1
+      if (n == 128) return out.toByteArray
+      else if (n < 128) {
+        val len = n + 1
+        if (i + len > data.length) throw new IllegalStateException("truncated RLE literal")
+        out.write(data, i, len); i += len
+      } else {
+        if (i >= data.length) throw new IllegalStateException("truncated RLE run")
+        val b = data(i); i += 1
+        var k = 0
+        val len = 257 - n
+        while (k < len) { out.write(b & 0xff); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
   /** PNG predictors (per RFC 2083 §6, referenced by PDF §7.4.4.4) over
     * `columns` bytes/row — xref streams routinely use Predictor 12 (Up).
     */
@@ -437,18 +565,31 @@ object PdfBytes {
         case other => throw new IllegalStateException(s"filter $other")
       }
       var out = s0.data
+      val dp: Option[PDict] =
+        s0.dict.m.get("DecodeParms").orElse(s0.dict.m.get("DP")) match {
+          case Some(d: PDict) => Some(d)
+          case _ => None
+        }
+      def applyPredictor(b: Array[Byte]): Array[Byte] = dp match {
+        case Some(d) =>
+          val pred = d.m.get("Predictor").map(v => numOf(v).toInt).getOrElse(1)
+          if (pred >= 10) {
+            val cols = d.m.get("Columns").map(v => numOf(v).toInt).getOrElse(1)
+            pngPredict(b, cols)
+          } else if (pred != 1) throw new IllegalStateException(s"predictor $pred")
+          else b
+        case None => b
+      }
       filters.foreach {
-        case "FlateDecode" =>
-          out = inflate(out)
-          s0.dict.m.get("DecodeParms").orElse(s0.dict.m.get("DP")) match {
-            case Some(dp: PDict) =>
-              val pred = dp.m.get("Predictor").map(v => numOf(v).toInt).getOrElse(1)
-              if (pred >= 10) {
-                val cols = dp.m.get("Columns").map(v => numOf(v).toInt).getOrElse(1)
-                out = pngPredict(out, cols)
-              } else if (pred != 1) throw new IllegalStateException(s"predictor $pred")
-            case _ => ()
-          }
+        case "FlateDecode" | "Fl" => out = applyPredictor(inflate(out))
+        case "LZWDecode" | "LZW" =>
+          val early = dp.flatMap(_.m.get("EarlyChange").map(v => numOf(v).toInt)).getOrElse(1)
+          out = applyPredictor(lzwDecode(out, early))
+        case "ASCIIHexDecode" | "AHx" => out = asciiHexDecode(out)
+        case "ASCII85Decode" | "A85" => out = ascii85Decode(out)
+        case "RunLengthDecode" | "RL" => out = runLengthDecode(out)
+        case "Crypt" => () // Identity pass-through (§7.4.10); StdCF data was
+                           // already decrypted under the file crypto above
         case other => throw new IllegalStateException(s"unsupported filter $other")
       }
       out

@@ -370,6 +370,130 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(PdfCrypt.validatePerms(fileKey.reverse, perms).isEmpty)
   }
 
+  test("legacy stream filters: LZW, ASCIIHex, ASCII85, RunLength round-trip") {
+    import graft.extract.PdfBytes.{lzwDecode, asciiHexDecode, ascii85Decode, runLengthDecode}
+    // test-side encoders (independent of the decoders under test)
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      var bitBuf = 0L; var bitCnt = 0; var width = 9
+      val dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+      (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+      var next = 258
+      def emit(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bitCnt += width
+        while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+      }
+      emit(256) // clear
+      var w = Seq.empty[Byte]
+      data.foreach { b =>
+        val wb = w :+ b
+        if (dict.contains(wb)) w = wb
+        else {
+          emit(dict(w))
+          if (next < 4096) { dict(wb) = next; next += 1 }
+          // EarlyChange=1 cadence mirrored from the decoder
+          if (next >= (1 << width) && width < 12) width += 1
+          w = Seq(b)
+        }
+      }
+      if (w.nonEmpty) emit(dict(w))
+      emit(257) // EOD
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      out.toByteArray
+    }
+    def a85Encode(data: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      data.grouped(4).foreach { g =>
+        var t = 0L
+        g.foreach(b => t = (t << 8) | (b & 0xff))
+        var k = g.length
+        while (k < 4) { t = t << 8; k += 1 }
+        if (t == 0 && g.length == 4) sb += 'z'
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85)).toChar; v /= 85 }
+          sb ++= new String(cs, 0, g.length + 1)
+        }
+      }
+      (sb.toString + "~>").getBytes("ISO-8859-1")
+    }
+    val rng = new scala.util.Random(11)
+    // structured + random payloads cross the 9→10→11-bit LZW boundaries
+    val payloads = Seq(
+      "BT (hello) Tj ET " * 400,
+      new String(Array.fill(8000)((rng.nextInt(256) - 128).toByte).map(b => (b & 0xff).toChar)),
+      "aaaaabbbbbcccccaaaaabbbbb" * 100, "x")
+      .map(_.getBytes("ISO-8859-1"))
+    payloads.foreach { p =>
+      assert(lzwDecode(lzwEncode(p)).sameElements(p), "lzw")
+      assert(ascii85Decode(a85Encode(p)).sameElements(p), "a85")
+      val hx = (p.map(b => f"${b & 0xff}%02X").mkString + ">").getBytes("ISO-8859-1")
+      assert(asciiHexDecode(hx).sameElements(p), "ahx")
+    }
+    // RunLength: runs + literals + EOD
+    val rle = Array[Byte](2, 'a', 'b', 'c', (257 - 5).toByte, 'x', 0, 'q', 128.toByte)
+    assert(new String(runLengthDecode(rle), "ISO-8859-1") == "abcxxxxxq")
+    // 'z' shorthand for a zero group
+    assert(ascii85Decode("z~>".getBytes).sameElements(Array[Byte](0, 0, 0, 0)))
+  }
+
+  test("legacy-filter content streams extract end-to-end (A85+Flate chain, ASCIIHex)") {
+    import graft.extract.PdfText
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream; val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    def a85(data: Array[Byte]): Array[Byte] = { // same encoder as above, minimal
+      val sb = new StringBuilder
+      data.grouped(4).foreach { g =>
+        var t = 0L
+        g.foreach(b => t = (t << 8) | (b & 0xff))
+        var k = g.length
+        while (k < 4) { t = t << 8; k += 1 }
+        if (t == 0 && g.length == 4) sb += 'z'
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85)).toChar; v /= 85 }
+          sb ++= new String(cs, 0, g.length + 1)
+        }
+      }
+      (sb.toString + "~>").getBytes("ISO-8859-1")
+    }
+    def docWith(payload: Array[Byte], filter: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+      def obj(num: Int, body: String): Unit = { offsets += out.size(); w(s"$num 0 obj\n$body\nendobj\n") }
+      w("%PDF-1.2\n")
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      obj(2, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+      obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+      offsets += out.size()
+      w(s"4 0 obj\n<< /Length ${payload.length} /Filter $filter >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+      obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+      val xrefAt = out.size()
+      w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+      offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    val content = "BT\n/F1 12 Tf\n72 720 Td\n(hello legacy filters) Tj\nET\n".getBytes("ISO-8859-1")
+    // chained: A85 applied LAST on encode, FIRST on decode
+    val chained = docWith(a85(deflate(content)), "[ /ASCII85Decode /FlateDecode ]")
+    assert(PdfText.pageTexts(chained).fold(e => fail(e), identity) == Seq("hello legacy filters"))
+    val hexed = docWith(
+      (content.map(b => f"${b & 0xff}%02X").mkString + ">").getBytes("ISO-8859-1"),
+      "/ASCIIHexDecode")
+    assert(PdfText.pageTexts(hexed).fold(e => fail(e), identity) == Seq("hello legacy filters"))
+  }
+
   test("encrypted trailer returns the reference's basic-info shape") {
     // synthesize: take a built pdf and splice /Encrypt into the trailer
     val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")
