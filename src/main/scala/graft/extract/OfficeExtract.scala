@@ -141,12 +141,20 @@ object OfficeExtract {
         .getOrElse(Vector.empty)
       val names = sheetNames(workbook)
       val title = entries.get("docProps/core.xml").map(coreTitle).getOrElse("")
-      val sheets = names.zipWithIndex.flatMap { case (name, i) =>
-        // workbook order == sheetN.xml numeric order in the common
-        // single-producer layout this writer/parser pair covers
-        entries.get(s"xl/worksheets/sheet${i + 1}.xml").map { xml =>
-          Sheet(name, parseSheet(xml, shared))
+      // sheet→part pairing goes through the workbook RELATIONSHIPS (r:id →
+      // Target): Excel does not rename parts when sheets are reordered, so
+      // positional sheetN.xml pairing silently mismatches names and data.
+      // Positional is only the fallback for rels-less minimal files.
+      val rels: Map[String, String] = entries.get("xl/_rels/workbook.xml.rels")
+        .map(parseRels).getOrElse(Map.empty)
+      val sheets = names.zipWithIndex.map { case ((name, rid), i) =>
+        val viaRels = rels.get(rid).map { t =>
+          if (t.startsWith("/")) t.drop(1) else "xl/" + t
         }
+        val key = viaRels.getOrElse(s"xl/worksheets/sheet${i + 1}.xml")
+        val xml = entries.getOrElse(key,
+          throw new IllegalStateException(s"missing worksheet part $key"))
+        Sheet(name, parseSheet(xml, shared))
       }
       if (sheets.isEmpty) throw new IllegalStateException("no worksheets")
       Right(XlsxDoc(title, sheets))
@@ -177,16 +185,30 @@ object OfficeExtract {
     out.result()
   }
 
-  private def sheetNames(xml: Array[Byte]): Seq[String] = {
+  /** (name, r:id) per sheet, in workbook order. */
+  private def sheetNames(xml: Array[Byte]): Seq[(String, String)] = {
     val r = reader(xml)
-    val out = ArrayBuffer[String]()
+    val out = ArrayBuffer[(String, String)]()
     try {
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
-          out += attr(r, "name")
+          out += ((attr(r, "name"), attr(r, "id"))) // r:id's local name is "id"
       }
     } finally r.close()
     out.toSeq
+  }
+
+  /** workbook.xml.rels: Relationship Id → Target (xl-relative path). */
+  private def parseRels(xml: Array[Byte]): Map[String, String] = {
+    val r = reader(xml)
+    val out = Map.newBuilder[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+          out += attr(r, "Id") -> attr(r, "Target")
+      }
+    } finally r.close()
+    out.result()
   }
 
   /** `r="BC23"` → 0-based column 54; empty ref → next position. */
@@ -202,7 +224,6 @@ object OfficeExtract {
     val rows = ArrayBuffer[ArrayBuffer[String]]()
     var cellType = ""
     var cellCol = -1
-    var inValue = false
     val value = new StringBuilder
     try {
       while (r.hasNext) {
@@ -217,9 +238,7 @@ object OfficeExtract {
                   (if (rows.nonEmpty) rows.last.length else 0)
                 value.clear()
               case "v" | "t" =>
-                inValue = true
                 value ++= r.getElementText
-                inValue = false
               case _ => ()
             }
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == "c" =>
@@ -240,10 +259,7 @@ object OfficeExtract {
       }
     } finally r.close()
     val filled = rows.filter(_.nonEmpty)
-    if (filled.isEmpty) "" else {
-      val _ = inValue
-      tableMd(filled.map(_.toSeq).toSeq)
-    }
+    if (filled.isEmpty) "" else tableMd(filled.map(_.toSeq).toSeq)
   }
 
   /** Sheets → spans: a page_break per sheet, `## name` heading, its table. */
@@ -339,11 +355,17 @@ object OfficeExtract {
     }
     val workbook =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets>${
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>${
         sheets.zipWithIndex.map { case ((n, _), i) =>
-          s"""<sheet name="${esc(n)}" sheetId="${i + 1}"/>"""
+          s"""<sheet name="${esc(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
         }.mkString
       }</sheets></workbook>""".stripMargin
+    val workbookRels =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">${
+        sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString
+      }</Relationships>""".stripMargin
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/></Types>""".stripMargin
@@ -357,6 +379,7 @@ object OfficeExtract {
       "[Content_Types].xml" -> contentTypes,
       "_rels/.rels" -> rels,
       "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> workbookRels,
       "docProps/core.xml" -> core) ++
       sheets.zipWithIndex.map { case ((_, rows), i) =>
         s"xl/worksheets/sheet${i + 1}.xml" -> sheetXml(rows)

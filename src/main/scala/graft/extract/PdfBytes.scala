@@ -305,6 +305,9 @@ object PdfBytes {
       i += 1
     }
     if (count > 0) {
+      // a single leftover char cannot encode any byte (§7.4.3) — corrupt
+      // input is an error, not silent truncation
+      if (count == 1) throw new IllegalStateException("truncated ascii85 group")
       // pad with 'u' (84) and keep count-1 bytes
       var k = count
       while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
@@ -418,17 +421,21 @@ object PdfBytes {
       case _ => 0
     }
 
+    /** Every xref-section offset ever visited — /Prev chains AND /XRefStm
+      * recursion both guard on it, so mutually-referencing sections in a
+      * corrupt file terminate instead of overflowing the stack (a
+      * StackOverflowError would escape the Exception-only failure-row
+      * catch).
+      */
+    private val xrefSeen = mutable.Set[Long]()
+
     locally {
       val sxAt = lastIndexOf(data, "startxref".getBytes)
       if (sxAt < 0) throw new IllegalStateException("no startxref")
       val p = new Parser(data, sxAt + "startxref".length)
       p.skipWs()
       var off = p.word().toLong
-      val seen = mutable.Set[Long]()
-      while (off > 0 && !seen.contains(off)) {
-        seen += off
-        off = readXrefSection(off.toInt)
-      }
+      while (off > 0) off = readXrefSection(off.toInt)
     }
 
     private def lastIndexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
@@ -446,6 +453,7 @@ object PdfBytes {
       * returns the /Prev offset or 0.
       */
     private def readXrefSection(off: Int): Long = {
+      if (!xrefSeen.add(off.toLong)) return 0L // already visited: cycle/dup
       val p = new Parser(data, off)
       p.skipWs()
       if (p.peek == 'x') { // classic: "xref" then subsections then "trailer"
@@ -549,28 +557,42 @@ object PdfBytes {
       PStream(dict, payload)
     }
 
-    /** Applies /Filter (FlateDecode only — ASCIIHex etc. not needed for
-      * xref/ObjStm) + /DecodeParms predictors.
+    /** Applies the /Filter chain (Flate/LZW with per-filter /DecodeParms
+      * predictors, the ASCII and RunLength transports) after the file-key
+      * decryption pass — which is SKIPPED for streams whose chain names a
+      * /Crypt Identity filter: those bytes are stored plaintext (§7.4.10),
+      * so decrypting them first would corrupt them.
       */
     private def decode(s: PStream, carrierNum: Option[Int] = None): Array[Byte] = {
-      val s0 = (fileCrypto, carrierNum) match {
-        case (Some((k, aes)), Some(num)) =>
-          PStream(s.dict, PdfCrypt.decryptData(k, aes, num, genOf(num), s.data))
-        case _ => s
-      }
-      val filters: Seq[String] = s0.dict.m.get("Filter") match {
-        case Some(PName(n)) => Seq(n)
-        case Some(PArr(items)) => items.map(_.asInstanceOf[PName].v)
-        case None => Nil
+      val filters: Seq[String] = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map(resolve(_)).collect { case PName(n) => n }
+        case PNull => Nil
         case other => throw new IllegalStateException(s"filter $other")
       }
-      var out = s0.data
-      val dp: Option[PDict] =
-        s0.dict.m.get("DecodeParms").orElse(s0.dict.m.get("DP")) match {
-          case Some(d: PDict) => Some(d)
-          case _ => None
+      // per-filter parms: a bare dict applies to a single-filter chain, an
+      // array aligns positionally (§7.3.8.2)
+      val parms: Seq[Option[PDict]] =
+        resolve(s.dict.m.getOrElse("DecodeParms", s.dict.m.getOrElse("DP", PNull))) match {
+          case d: PDict => Seq(Some(d))
+          case PArr(items) => items.map(resolve(_)).map {
+            case d: PDict => Some(d)
+            case _ => None
+          }
+          case _ => Nil
         }
-      def applyPredictor(b: Array[Byte]): Array[Byte] = dp match {
+      def parmAt(i: Int): Option[PDict] = parms.lift(i).flatten
+      val identityCrypt = {
+        val ci = filters.indexOf("Crypt")
+        ci >= 0 && parmAt(ci).forall(
+          _.m.get("Name").map(resolve(_)).forall(_ == PName("Identity")))
+      }
+      var out = (fileCrypto, carrierNum) match {
+        case (Some((k, aes)), Some(num)) if !identityCrypt =>
+          PdfCrypt.decryptData(k, aes, num, genOf(num), s.data)
+        case _ => s.data
+      }
+      def applyPredictor(b: Array[Byte], i: Int): Array[Byte] = parmAt(i) match {
         case Some(d) =>
           val pred = d.m.get("Predictor").map(v => numOf(v).toInt).getOrElse(1)
           if (pred >= 10) {
@@ -580,17 +602,19 @@ object PdfBytes {
           else b
         case None => b
       }
-      filters.foreach {
-        case "FlateDecode" | "Fl" => out = applyPredictor(inflate(out))
-        case "LZWDecode" | "LZW" =>
-          val early = dp.flatMap(_.m.get("EarlyChange").map(v => numOf(v).toInt)).getOrElse(1)
-          out = applyPredictor(lzwDecode(out, early))
-        case "ASCIIHexDecode" | "AHx" => out = asciiHexDecode(out)
-        case "ASCII85Decode" | "A85" => out = ascii85Decode(out)
-        case "RunLengthDecode" | "RL" => out = runLengthDecode(out)
-        case "Crypt" => () // Identity pass-through (§7.4.10); StdCF data was
-                           // already decrypted under the file crypto above
-        case other => throw new IllegalStateException(s"unsupported filter $other")
+      filters.zipWithIndex.foreach {
+        case ("FlateDecode" | "Fl", i) => out = applyPredictor(inflate(out), i)
+        case ("LZWDecode" | "LZW", i) =>
+          val early = parmAt(i).flatMap(_.m.get("EarlyChange").map(v => numOf(v).toInt))
+            .getOrElse(1)
+          out = applyPredictor(lzwDecode(out, early), i)
+        case ("ASCIIHexDecode" | "AHx", _) => out = asciiHexDecode(out)
+        case ("ASCII85Decode" | "A85", _) => out = ascii85Decode(out)
+        case ("RunLengthDecode" | "RL", _) => out = runLengthDecode(out)
+        case ("Crypt", _) => () // Identity pass-through (decryption skipped
+                                // above); StdCF data decrypts under the
+                                // file crypto like any other stream
+        case (other, _) => throw new IllegalStateException(s"unsupported filter $other")
       }
       out
     }

@@ -337,16 +337,22 @@ object PdfText {
     val xobjects: Map[String, PObj] = res.get("XObject").map(doc.dict).getOrElse(Map.empty)
 
     var ctm = baseCtm
-    val gsStack = mutable.Stack[Array[Double]]()
     var tm = identity
     var tlm = identity
-    var font: Font = Font(twoByte = false, Map.empty, Map.empty, Map.empty, 500.0)
+    var font: Font = null // no Tf yet — show ops are skipped (oracle parity)
     var size = 0.0
     var charSp = 0.0
     var wordSp = 0.0
     var hScale = 1.0
     var leading = 0.0
     var rise = 0.0
+    // q/Q save/restore the FULL graphics state (§8.4.2): the text state
+    // (font, size, spacing, leading, rise) is part of it — `q /F2 8 Tf
+    // (x) Tj Q (y) Tj` must show y in the OUTER font. tm/tlm are
+    // text-OBJECT state, not graphics state, and stay.
+    final case class GState(ctm: Array[Double], font: Font, size: Double,
+        charSp: Double, wordSp: Double, hScale: Double, leading: Double, rise: Double)
+    val gsStack = mutable.Stack[GState]()
 
     val p = new Parser(content, 0)
     val operands = ArrayBuffer[PObj]()
@@ -362,8 +368,8 @@ object PdfText {
     }
 
     def show(str: PStr): Unit = {
+      if (font == null) return // no Tf seen — nothing decodable (oracle parity)
       val bytes = str.bytes
-      if (size == 0.0 && bytes.isEmpty) return
       val trm = mul(tm, ctm)
       val x0 = trm(4) + rise * trm(2)
       val y0 = trm(5) + rise * trm(3)
@@ -412,10 +418,8 @@ object PdfText {
       while (i + 2 < d.length &&
         !(isWsByte(d(i)) && d(i + 1) == 'E' && d(i + 2) == 'I' &&
           (i + 3 >= d.length || isWsByte(d(i + 3))))) i += 1
-      val trm = mul(tm, ctm)
       images += ImageRef(ctm(4), ctm(5), s"inline-${images.length}")
       p.pos = math.min(d.length, i + 3)
-      val _ = trm
     }
 
     def doXObject(name: String): Unit = xobjects.get(name).foreach { ref =>
@@ -456,8 +460,13 @@ object PdfText {
         if (op.isEmpty) p.pos += 1
         else {
           op match {
-            case "q" => gsStack.push(ctm)
-            case "Q" => if (gsStack.nonEmpty) ctm = gsStack.pop()
+            case "q" =>
+              gsStack.push(GState(ctm, font, size, charSp, wordSp, hScale, leading, rise))
+            case "Q" => if (gsStack.nonEmpty) {
+              val g = gsStack.pop()
+              ctm = g.ctm; font = g.font; size = g.size; charSp = g.charSp
+              wordSp = g.wordSp; hScale = g.hScale; leading = g.leading; rise = g.rise
+            }
             case "cm" =>
               ctm = mul(Array(numOp(6), numOp(5), numOp(4), numOp(3), numOp(2), numOp(1)), ctm)
             case "BT" => tm = identity; tlm = identity
@@ -575,11 +584,14 @@ object PdfText {
     sb.toString
   }
 
+  /** ASCII-space trim ONLY — nbsp and exotic whitespace are content, and
+    * the Python oracle's `strip(" ")` must agree byte-for-byte.
+    */
   private def trimEnds(s: String): String = {
     var a = 0
     var b = s.length
-    while (a < b && (s(a) == ' ' || s(a) == ' ')) a += 1
-    while (b > a && (s(b - 1) == ' ' || s(b - 1) == ' ')) b -= 1
+    while (a < b && s(a) == ' ') a += 1
+    while (b > a && s(b - 1) == ' ') b -= 1
     s.substring(a, b)
   }
 

@@ -250,8 +250,14 @@ object Dedup {
         .select("id_a", "id_b", "jaccard")
     } else {
       // canonical global order = hash order (array_sort): the PPJoin
-      // prefix filter needs every doc's shingles under ONE total order
-      val sets =
+      // prefix filter needs every doc's shingles under ONE total order.
+      // `sets` feeds THREE consumers (prefix index + both verify sides)
+      // and Catalyst does not reuse the underlying exchange across their
+      // differing repartitionings (verified: no ReusedExchange in the
+      // plan), so it is persisted — shingling/capping runs once, not 3×.
+      // Storage is LRU-evictable; long-lived apps can unpersist via the
+      // returned plan's lineage.
+      val sets = (
         if (maxDocFreq <= 0)
           sh0.select(col("doc_id"), array_sort(col("sh")).as("sh"),
             size(col("sh")).as("n_sh"))
@@ -268,6 +274,7 @@ object Dedup {
             .agg(array_sort(collect_list(col("shingle"))).as("sh"))
             .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
         }
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // high thresholds: PPJoin-style prefix candidates (Bayardo et al.
       // All-Pairs / Xiao et al. PPJoin, both public): |A∩B| ≥ t·max forces
       // a collision within each side's first |S| − ⌈t·|S|⌉ + 1 shingles

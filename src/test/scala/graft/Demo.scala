@@ -7,7 +7,7 @@ import graft.model.{Doc, PdfElement}
 
 /** Small CLI driving the library through its public API — used by the verify
   * recipe (.claude/skills/verify) to observe extraction end-to-end without
-  * Spark. Usage: sbt "runMain graft.Demo".
+  * Spark. Usage: sbt "Test/runMain graft.Demo".
   */
 object Demo {
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,31 @@ class OfficeSpec extends AnyFunSuite {
     assert(doc.sheets.head.tableMd == "|hello||world|\n|---|---|---|")
   }
 
+  test("xlsx reordered sheets pair by workbook relationships, not part position") {
+    // Excel keeps part names when sheets are reordered: workbook lists
+    // 'Summary' first but its data lives in sheet2.xml (rId2); positional
+    // pairing would show sheet1's cells under the 'Summary' heading
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Summary" sheetId="2" r:id="rId2"/><sheet name="Detail" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>detail-data</t></is></c></row></sheetData></worksheet>""")
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>summary-data</t></is></c></row></sheetData></worksheet>""")
+    z.close()
+    val doc = OfficeExtract.extractXlsx(out.toByteArray).fold(e => fail(e), identity)
+    assert(doc.sheets.map(s => (s.name, s.tableMd)) == Seq(
+      ("Summary", "|summary-data|\n|---|"),
+      ("Detail", "|detail-data|\n|---|")))
+  }
+
   test("colOf: A=0, Z=25, AA=26, BC=54") {
     assert(OfficeExtract.colOf("A1") == 0)
     assert(OfficeExtract.colOf("Z9") == 25)

@@ -494,6 +494,56 @@ class PdfBytesSpec extends AnyFunSuite {
     assert(PdfText.pageTexts(hexed).fold(e => fail(e), identity) == Seq("hello legacy filters"))
   }
 
+  test("Crypt-Identity content stream reads plaintext through the decode path too") {
+    // the EncryptMetadata test covers the REWRITE path; this covers
+    // PdfText/decodedStream: an encrypted doc whose page CONTENT carries
+    // /Filter /Crypt (Identity) stored plaintext must extract verbatim —
+    // decrypt-before-filter-inspection would garble it
+    import graft.extract.{PdfCrypt, PdfText}
+    val content = "BT\n/F1 12 Tf\n72 720 Td\n(identity plain content) Tj\nET\n"
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def hex(b: Array[Byte]): String = "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+    val pwd = Array.emptyByteArray
+    val id0 = PdfCrypt.md5("crypt-id-test".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO(pwd, pwd, 3, 16)
+    val perm = -44
+    val key = PdfCrypt.fileKey(pwd, o, perm, id0, 3, 16)
+    val u = PdfCrypt.computeU(key, id0, 3) ++ new Array[Byte](16)
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(num: Int, body: String): Unit = { offsets += out.size(); w(s"$num 0 obj\n$body\nendobj\n") }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    obj(4, "<< /Filter /Crypt /DecodeParms << /Type /CryptFilterDecodeParms /Name /Identity >> " +
+      s"/Length ${content.length} >>\nstream\n$content\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    obj(6, s"<< /Filter /Standard /V 2 /Length 128 /R 3 /O ${hex(o)} /U ${hex(u)} /P $perm >>")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R /Encrypt 6 0 R /ID [ ${hex(id0)} ${hex(id0)} ] >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val texts = PdfText.pageTexts(out.toByteArray).fold(e => fail(e), identity)
+    assert(texts == Seq("identity plain content"))
+  }
+
+  test("corrupt xref cycles (XRefStm pointing back) fail as a Left, not a stack overflow") {
+    // classic section whose /XRefStm points at ITSELF via the classic
+    // offset: the visited-set guard must terminate the recursion
+    val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")
+    val sxAt = good.lastIndexOf("startxref")
+    val xrefAt = good.substring(sxAt + 9).trim.split("\\s+")(0) // the real classic offset
+    val hacked = good.replace("/Root 1 0 R", s"/Root 1 0 R /XRefStm $xrefAt")
+    // terminates (already-seen offsets skip); the self-reference is benign
+    val r = PdfBytes.pdfInfo(hacked.getBytes("ISO-8859-1"))
+    assert(r.isRight && r.toOption.get.pageCount == 1)
+    // and a bogus offset is a failure ROW (Left), never a crash
+    val bogus = good.replace("/Root 1 0 R", s"/Root 1 0 R /XRefStm ${sxAt + 5}")
+    assert(PdfBytes.pdfInfo(bogus.getBytes("ISO-8859-1")).isLeft)
+  }
+
   test("encrypted trailer returns the reference's basic-info shape") {
     // synthesize: take a built pdf and splice /Encrypt into the trailer
     val good = new String(PdfBytes.buildPdf(Seq((10.0, 10.0)), "t", "a"), "ISO-8859-1")

@@ -294,10 +294,12 @@ def interpret(content, res, base_ctm, resolve, decoded, runs, font_cache, depth=
             continue
         op = t[1].decode("latin-1")
         if op == "q":
-            stack.append(list(ctm))
+            # full graphics state (8.4.2): text state rides along; tm/tlm
+            # are text-object state and stay
+            stack.append((list(ctm), font, size, csp, wsp, hs, lead, rise))
         elif op == "Q":
             if stack:
-                ctm = stack.pop()
+                ctm, font, size, csp, wsp, hs, lead, rise = stack.pop()
         elif op == "cm":
             ctm = mmul([nop(6), nop(5), nop(4), nop(3), nop(2), nop(1)], ctm)
         elif op == "BT":
