@@ -683,6 +683,28 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_epub" -> ((s, dir) => {
+      // EPUB through the REAL ingestion route: OCF container → OPF spine →
+      // per-chapter HtmlExtract; 1-3 chapters per doc, each an <h1> plus a
+      // body paragraph the oracle reproduces arithmetically
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val n = 1 + (id % 3).toInt
+          val chapters = (1 to n).map { p =>
+            s"<html><body><h1>Chapter ${id % 5}-$p</h1>" +
+              s"<p>Alpha body text number ${(id + p) % 9} with enough plain words " +
+              "to pass the content density classifier easily.</p></body></html>"
+          }
+          val bytes = graft.extract.EpubExtract.buildEpub(s"Novel $id", chapters)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.epub", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1339,6 +1361,18 @@ object SparkEntry {
         |  '## Notes' || chr(10) ||
         |  '|note-' || (doc_id % 3) || '|' || chr(10) || '|---|' AS text_all
         |FROM documents""".stripMargin,
+    "q_epub" ->
+      // 3 spans per chapter (page_break + heading + body paragraph)
+      """SELECT doc_id, 'Novel ' || doc_id AS title,
+        |  CAST(1 + doc_id % 3 AS INT) AS page_count,
+        |  CAST(3 * (1 + doc_id % 3) AS INT) AS n_spans,
+        |  string_agg('# Chapter ' || (doc_id % 5) || '-' || p || chr(10) ||
+        |    'Alpha body text number ' || ((doc_id + p) % 9) ||
+        |    ' with enough plain words to pass the content density classifier easily.',
+        |    chr(10) ORDER BY p) AS text_all
+        |FROM documents, (SELECT unnest([1,2,3]) AS p) t
+        |WHERE p <= 1 + doc_id % 3
+        |GROUP BY doc_id""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

@@ -1,0 +1,150 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+import javax.xml.stream.XMLStreamConstants
+import scala.collection.mutable.ArrayBuffer
+
+/** EPUB extraction from raw bytes — the reference routes
+  * `application/epub+zip` through MarkItDown
+  * (markitdown_provider/provider.py:44); here the OCF container is walked
+  * directly: META-INF/container.xml names the OPF package, the OPF
+  * manifest+spine give the reading order, and each XHTML chapter runs
+  * through the existing [[HtmlExtract]] boilerplate-strip pipeline. One
+  * page per spine document, chapter spans re-offset into a single stream;
+  * the dc:title metadata supplies the document title.
+  *
+  * Out of scope (documented): embedded media payload lifting, fixed-layout
+  * rendition properties, encrypted (DRM) containers — those surface as
+  * failure rows. O(bytes) per document.
+  */
+object EpubExtract {
+
+  import DocxExtract.{readZip, reader, attr}
+
+  final case class EpubDoc(title: String, chapters: Seq[HtmlExtract.Extracted])
+
+  def extract(bytes: Array[Byte]): Either[String, EpubDoc] =
+    try {
+      val entries = readZip(bytes)
+      val container = entries.getOrElse("META-INF/container.xml",
+        throw new IllegalStateException("no META-INF/container.xml"))
+      val opfPath = rootfileOf(container)
+      val opf = entries.getOrElse(opfPath,
+        throw new IllegalStateException(s"missing OPF $opfPath"))
+      val opfDir = {
+        val i = opfPath.lastIndexOf('/')
+        if (i >= 0) opfPath.substring(0, i + 1) else ""
+      }
+      val (title, manifest, spine) = parseOpf(opf)
+      val chapters = spine.flatMap(manifest.get).flatMap { href =>
+        entries.get(normalize(opfDir + href)).map { xhtml =>
+          HtmlExtract.extract(new String(xhtml, StandardCharsets.UTF_8))
+        }
+      }
+      if (chapters.isEmpty) throw new IllegalStateException("empty spine")
+      Right(EpubDoc(title, chapters))
+    } catch {
+      case e: Exception => Left(s"epub_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** Chapters → one span stream: a page_break per spine document, chapter
+    * spans re-offset (chapter-internal page_breaks don't occur — HTML has
+    * no page concept).
+    */
+  def toSpans(doc: EpubDoc): Seq[graft.model.Span] = {
+    import graft.model.{Span, SpanKind}
+    val out = ArrayBuffer[Span]()
+    doc.chapters.zipWithIndex.foreach { case (ch, i) =>
+      out += Span(SpanKind.PageBreak, s"""{"next_page":${i + 1}}""", "", out.length)
+      ch.spans.filterNot(_.kind == SpanKind.PageBreak).foreach { sp =>
+        out += Span(sp.kind, sp.text, sp.media_ref, out.length)
+      }
+    }
+    out.toSeq
+  }
+
+  private def normalize(path: String): String =
+    path.split('/').foldLeft(List.empty[String]) {
+      case (acc, "..") => if (acc.nonEmpty) acc.init else acc
+      case (acc, ".") => acc
+      case (acc, seg) => acc :+ seg
+    }.mkString("/")
+
+  private def rootfileOf(xml: Array[Byte]): String = {
+    val r = reader(xml)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "rootfile") {
+          val p = attr(r, "full-path")
+          if (p.nonEmpty) return p
+        }
+      }
+      throw new IllegalStateException("no rootfile in container.xml")
+    } finally r.close()
+  }
+
+  /** (dc:title, manifest id→href, spine idrefs in order). */
+  private def parseOpf(xml: Array[Byte]): (String, Map[String, String], Seq[String]) = {
+    val r = reader(xml)
+    var title = ""
+    val manifest = Map.newBuilder[String, String]
+    val spine = ArrayBuffer[String]()
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT) {
+          r.getLocalName match {
+            case "title" => if (title.isEmpty) title = r.getElementText.trim
+            case "item" => manifest += attr(r, "id") -> attr(r, "href")
+            case "itemref" =>
+              val idref = attr(r, "idref")
+              if (idref.nonEmpty) spine += idref
+            case _ => ()
+          }
+        }
+      }
+    } finally r.close()
+    (title, manifest.result(), spine.toSeq)
+  }
+
+  // ------------------------------------------------------------ writer
+  /** Deterministic EPUB writer — the encode side of the q_epub round-trip:
+    * container.xml → content.opf (manifest + spine) → one XHTML file per
+    * chapter.
+    */
+  def buildEpub(title: String, chapters: Seq[String]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    val container =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container"><rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/></rootfiles></container>""".stripMargin
+    val opf =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<package xmlns="http://www.idpf.org/2007/opf" version="3.0"><metadata xmlns:dc="http://purl.org/dc/elements/1.1/"><dc:title>${esc(title)}</dc:title></metadata><manifest>${
+        chapters.indices.map(i =>
+          s"""<item id="ch$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""").mkString
+      }</manifest><spine>${
+        chapters.indices.map(i => s"""<itemref idref="ch$i"/>""").mkString
+      }</spine></package>""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(out)
+    try {
+      (Seq(
+        "mimetype" -> "application/epub+zip",
+        "META-INF/container.xml" -> container,
+        "OEBPS/content.opf" -> opf) ++
+        chapters.zipWithIndex.map { case (html, i) => s"OEBPS/ch$i.xhtml" -> html })
+        .foreach { case (name, content) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
+          zout.putNextEntry(e)
+          zout.write(content.getBytes(StandardCharsets.UTF_8))
+          zout.closeEntry()
+        }
+    } finally zout.close()
+    out.toByteArray
+  }
+}

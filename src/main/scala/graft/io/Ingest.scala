@@ -292,6 +292,10 @@ object Ingest {
         RawDoc(relPath, "xlsx_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
+      case "application/epub+zip" =>
+        RawDoc(relPath, "epub_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on

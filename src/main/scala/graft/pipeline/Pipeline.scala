@@ -77,6 +77,7 @@ object Pipeline {
       if (r.payload_kind == "docx_bytes") return extractDocxOne(r)
       if (r.payload_kind == "pptx_bytes") return extractPptxOne(r)
       if (r.payload_kind == "xlsx_bytes") return extractXlsxOne(r)
+      if (r.payload_kind == "epub_bytes") return extractEpubOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -231,6 +232,23 @@ object Pipeline {
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
           source_path = r.source_path, media = Nil,
           metadata = Map("xlsx_sheets" -> doc.sheets.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** EPUB extraction ([[graft.extract.EpubExtract]]): OCF container walk,
+    * spine order, each XHTML chapter through the HtmlExtract
+    * boilerplate-strip; one page per chapter.
+    */
+  private def extractEpubOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.EpubExtract.extract(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.EpubExtract.toSpans(doc)
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.chapters.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("epub_chapters" -> doc.chapters.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
   }
