@@ -37,7 +37,12 @@ object Bench {
       "org.apache.hadoop.util.NativeCodeLoader",
       // the streaming queries' benign setup WARNs (AQE-unsupported notice,
       // temp checkpoint location) — expected per-run, not signal
-      "org.apache.spark.sql.execution.streaming.runtime").foreach { name =>
+      "org.apache.spark.sql.execution.streaming.runtime",
+      // state-store MAINTENANCE threads are JVM-global daemons that outlive
+      // their session: once the scaling phase stops/starts contexts they
+      // WARN (with awaitResult stacks) that they cannot unload providers
+      // against the dead coordinator — lifecycle noise, not signal
+      "org.apache.spark.sql.execution.streaming.state").foreach { name =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         name, org.apache.logging.log4j.Level.FATAL)
     }

@@ -86,12 +86,21 @@ object DocxExtract {
   }
 
   // ------------------------------------------------------------ xml
-  private[extract] def reader(xml: Array[Byte]) = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    f.createXMLStreamReader(new ByteArrayInputStream(xml))
+  /** StAX factory per thread: `XMLInputFactory.newInstance()` walks the
+    * service-loader path — doing that per XML PART dominates small-doc
+    * parse cost; factories are not thread-safe, so thread-local.
+    */
+  private val xmlFactory = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+      f
+    }
   }
+
+  private[extract] def reader(xml: Array[Byte]) =
+    xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(xml))
 
   private[extract] def coreTitle(xml: Array[Byte]): String = {
     val r = reader(xml)

@@ -7,10 +7,12 @@ import scala.collection.mutable
   * reference's `get_pdf_info` (pdf_utils.py:187-256, which delegates to
   * pypdf). From-scratch implementation of the public PDF 32000-1:2008 file
   * structure (§7.3 objects, §7.5 xref/trailer), NOT a port: classic xref
-  * tables with /Prev chains, 1.5+ cross-reference STREAMS (FlateDecode with
-  * PNG predictors via the JDK Inflater) and object streams (/Type/ObjStm),
-  * page-tree walk with MediaBox inheritance, Info-dictionary text strings
-  * (UTF-16BE BOM else PDFDocEncoding≈Latin-1).
+  * tables with /Prev chains, 1.5+ cross-reference STREAMS and object
+  * streams (/Type/ObjStm), hybrid-reference /XRefStm precedence, the
+  * §7.4 filter set (Flate with PNG predictors via the JDK Inflater, LZW,
+  * ASCIIHex, ASCII85, RunLength, per-filter DecodeParms, /Crypt Identity
+  * pass-through), page-tree walk with MediaBox inheritance,
+  * Info-dictionary text strings (UTF-16BE BOM else PDFDocEncoding≈Latin-1).
   *
   * No raster/content decoding happens here — this is O(file) byte scanning
   * plus O(objects touched) parsing, a bounded per-row kernel safe to run in

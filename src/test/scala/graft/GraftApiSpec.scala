@@ -80,6 +80,33 @@ class GraftApiSpec extends AnyFunSuite {
     assert(doc.metadata("pdf_encrypted") == "false")
   }
 
+  test("convertFile on a REAL reference PDF yields CONTENT text spans (round 4)") {
+    val fixture = "/root/reference/tests/resources/pdf_sample.pdf"
+    assume(new java.io.File(fixture).exists(), "reference fixtures not present")
+    val doc = Graft.convertFile(spark, fixture)
+    val texts = doc.spans.filter(_.kind == SpanKind.Text).map(_.text)
+    assert(texts.nonEmpty, "real PDFs must extract text content now")
+    assert(texts.exists(_.contains("Lorem ipsum")))
+    // paragraphs follow their page's break marker
+    assert(doc.spans.head.kind == SpanKind.PageBreak)
+  }
+
+  test("convertFile routes the round-4 byte formats through the façade") {
+    import graft.extract.{DocxExtract, EpubExtract}
+    val dir = java.nio.file.Files.createTempDirectory("graft-facade-fmt")
+    val docx = dir.resolve("memo.docx")
+    java.nio.file.Files.write(docx, DocxExtract.buildDocx("Memo",
+      Seq(DocxExtract.Para("# Subject"), DocxExtract.Para("Body line."))))
+    val d1 = Graft.convertFile(spark, docx.toString)
+    assert(d1.title == "Memo" && d1.spans.exists(_.text == "# Subject"))
+    val epub = dir.resolve("book.epub")
+    java.nio.file.Files.write(epub, EpubExtract.buildEpub("Book",
+      Seq("<html><body><h1>Ch</h1><p>Enough body words for the density classifier to keep this paragraph.</p></body></html>")))
+    val d2 = Graft.convertFile(spark, epub.toString)
+    assert(d2.title == "Book" && d2.page_count == 1)
+    graft.io.TableIO.deleteRecursively(dir.toFile)
+  }
+
   test("a façade doc parses back span-for-span (export → Markdown.parse)") {
     val doc = Graft.convertFile(spark, base.resolve("a/report.md").toString)
     val rendered = graft.md.Markdown.render(doc.spans)
