@@ -705,6 +705,36 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_pdf_images" -> ((s, dir) => {
+      // PDF image SIDECAR extraction: deterministic per-doc PDFs embed
+      // DCTDecode image XObjects (passthrough: the payload IS the file) →
+      // full ingestion route → one row per extracted media item whose md5
+      // the oracle recomputes. The REAL-fixture JPEG path is golden-locked
+      // in PdfTextSpec (byte length + JFIF header + dims).
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].flatMap { id =>
+          val n = 1 + (id % 3).toInt
+          val imgs: Seq[Seq[(Array[Byte], Int, Int)]] = (1 to n).map { p =>
+            if (p == 1)
+              Seq((s"JPEGDATA-$id-0".getBytes("ISO-8859-1"), 64, 48))
+            else if (p == 2 && id % 2 == 0)
+              Seq((s"JPEGDATA-$id-1".getBytes("ISO-8859-1"), 32, 24))
+            else Nil
+          }
+          val pages = (1 to n).map(p => Seq(s"Page $p text"))
+          val bytes = graft.extract.PdfText.buildTextPdf(pages, compress = true, imgs)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.pdf", bytes))
+          require(out.failure.isEmpty, out.failure)
+          out.media.map { m =>
+            val md5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(m.content).map(b => f"${b & 0xff}%02x").mkString
+            (id, m.media_ref, m.mime_type, m.content.length, md5)
+          }
+        }
+        .toDF("doc_id", "media_ref", "mime_type", "payload_len", "payload_md5")
+    }),
     "q_export_json" -> ((s, dir) => {
       // the reference API's JSON response (routes.py:55-64: the converted
       // Document serialized with image content base64-inlined) as a sink
@@ -1373,6 +1403,17 @@ object SparkEntry {
         |FROM documents, (SELECT unnest([1,2,3]) AS p) t
         |WHERE p <= 1 + doc_id % 3
         |GROUP BY doc_id""".stripMargin,
+    "q_pdf_images" ->
+      // img-0 on page 1 always; img-1 on page 2 for even ids with >=2 pages
+      """SELECT doc_id, 'img-0.jpeg' AS media_ref, 'image/jpeg' AS mime_type,
+        |  CAST(length('JPEGDATA-' || doc_id || '-0') AS INT) AS payload_len,
+        |  md5('JPEGDATA-' || doc_id || '-0') AS payload_md5
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'img-1.jpeg', 'image/jpeg',
+        |  CAST(length('JPEGDATA-' || doc_id || '-1') AS INT),
+        |  md5('JPEGDATA-' || doc_id || '-1')
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 > 0""".stripMargin,
     "q_export_json" ->
       // compact JSON per media row, fields in struct order (see queries)
       """WITH m AS (

@@ -701,6 +701,23 @@ object PdfBytes {
       case _ => None
     }
 
+    /** Resolves `ref` to a stream and returns its DECRYPTED but still
+      * filter-compressed payload — the image-sidecar path: a /DCTDecode
+      * stream's decrypted payload IS the JPEG file, byte-for-byte, no
+      * raster codec needed.
+      */
+    private[extract] def decryptedPayload(ref: PObj): Option[(PDict, Array[Byte])] =
+      resolve(ref) match {
+        case s: PStream =>
+          val num = ref match { case PRef(n, _) => Some(n); case _ => None }
+          val data = (fileCrypto, num) match {
+            case (Some((k, aes)), Some(n)) => PdfCrypt.decryptData(k, aes, n, genOf(n), s.data)
+            case _ => s.data
+          }
+          Some((s.dict, data))
+        case _ => None
+      }
+
     def dict(o: PObj): Map[String, PObj] = resolve(o) match {
       case PDict(m) => m
       case PStream(PDict(m), _) => m

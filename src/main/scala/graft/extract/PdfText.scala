@@ -46,7 +46,18 @@ object PdfText {
   /** One assembled line segment in device space (y axis UP, PDF points). */
   final case class Line(x: Double, y: Double, width: Double, size: Double, text: String)
   /** A positioned image placeholder (Do /Image or inline BI..EI). */
-  final case class ImageRef(x: Double, y: Double, name: String)
+  /** A positioned image occurrence. `data` carries the REAL payload when
+    * the stream is byte-extractable: /DCTDecode passthrough (the decrypted
+    * payload IS the JPEG), /JPXDecode passthrough (JPEG 2000), or a
+    * Flate/LZW 8-bit DeviceRGB/DeviceGray raster re-encoded as PNG via
+    * javax.imageio. Other color spaces/filters keep the positioned
+    * placeholder with empty data (documented bound — CCITT/JBIG2 need
+    * codecs the container lacks).
+    */
+  final case class ImageRef(
+      x: Double, y: Double, name: String,
+      width: Int = 0, height: Int = 0, mime: String = "",
+      data: Array[Byte] = Array.emptyByteArray)
   final case class PageContent(
       page: Int,
       width: Double,
@@ -67,6 +78,7 @@ object PdfText {
         case UnsupportedHandler => return Left("pdf_encrypted: unsupported handler")
       }
       val fontCache = mutable.Map[Int, Font]()
+      val imageCache = mutable.Map[Int, ImageRef]()
       val root = doc.dict(doc.trailer("Root"))
       val pages = ArrayBuffer[PageContent]()
       val visited = mutable.Set[PObj]()
@@ -83,7 +95,7 @@ object PdfText {
                 (math.abs(v(2) - v(0)), math.abs(v(3) - v(1)))
               case _ => (612.0, 792.0)
             }
-            pages += renderPage(doc, m, res, pages.length + 1, w, h, fontCache)
+            pages += renderPage(doc, m, res, pages.length + 1, w, h, fontCache, imageCache)
           case _ =>
             doc.resolve(m.getOrElse("Kids", PArr(Vector.empty))) match {
               case PArr(kids) => kids.foreach(walk(_, res, mb))
@@ -302,7 +314,8 @@ object PdfText {
       pageNo: Int,
       w: Double,
       h: Double,
-      fontCache: mutable.Map[Int, Font]): PageContent = {
+      fontCache: mutable.Map[Int, Font],
+      imageCache: mutable.Map[Int, ImageRef]): PageContent = {
     val runs = ArrayBuffer[Run]()
     val images = ArrayBuffer[ImageRef]()
     val content: Array[Byte] = pageDict.get("Contents") match {
@@ -318,7 +331,7 @@ object PdfText {
       }
     }
     val res = resources.map(doc.dict).getOrElse(Map.empty)
-    interpret(doc, content, res, identity, runs, images, fontCache, depth = 0)
+    interpret(doc, content, res, identity, runs, images, fontCache, imageCache, depth = 0)
     PageContent(pageNo, w, h, assembleLines(runs.toSeq), images.toSeq)
   }
 
@@ -331,6 +344,7 @@ object PdfText {
       runs: ArrayBuffer[Run],
       images: ArrayBuffer[ImageRef],
       fontCache: mutable.Map[Int, Font],
+      imageCache: mutable.Map[Int, ImageRef],
       depth: Int): Unit = {
     if (depth > 8) return // malicious/corrupt recursion guard
     val fonts: Map[String, PObj] = res.get("Font").map(doc.dict).getOrElse(Map.empty)
@@ -428,7 +442,12 @@ object PdfText {
           val xm = s.dict.m
           doc.resolve(xm.getOrElse("Subtype", PNull)) match {
             case PName("Image") =>
-              images += ImageRef(ctm(4), ctm(5), name)
+              val template = ref match {
+                case PRef(n, _) =>
+                  imageCache.getOrElseUpdate(n, extractImage(doc, ref, xm))
+                case _ => extractImage(doc, ref, xm)
+              }
+              images += template.copy(x = ctm(4), y = ctm(5), name = name)
             case PName("Form") =>
               val formMatrix = doc.resolve(xm.getOrElse("Matrix", PNull)) match {
                 case PArr(ns) if ns.length == 6 =>
@@ -438,7 +457,7 @@ object PdfText {
               val formRes = xm.get("Resources").map(doc.dict).getOrElse(res)
               doc.decodedStream(ref).foreach { body =>
                 interpret(doc, body, formRes, mul(formMatrix, ctm), runs, images,
-                  fontCache, depth + 1)
+                  fontCache, imageCache, depth + 1)
               }
             case _ => ()
           }
@@ -514,6 +533,70 @@ object PdfText {
           operands.clear()
         }
       }
+    }
+  }
+
+  /** Image XObject → payload (see [[ImageRef]]): JPEG/JPEG2000 streams
+    * pass through byte-for-byte; Flate/LZW 8-bit RGB/Gray rasters
+    * PNG-encode via javax.imageio; everything else keeps an empty payload.
+    * Never throws — a broken image keeps the placeholder, not a task kill.
+    */
+  private def extractImage(doc: Doc, ref: PObj, xm: Map[String, PObj]): ImageRef = {
+    def num(k: String): Int = doc.resolve(xm.getOrElse(k, PNull)) match {
+      case PNum(v) => v.toInt
+      case _ => 0
+    }
+    val w = num("Width")
+    val h = num("Height")
+    val bpc = num("BitsPerComponent")
+    val filters: Seq[String] = doc.resolve(xm.getOrElse("Filter", PNull)) match {
+      case PName(n) => Seq(n)
+      case PArr(items) => items.map(doc.resolve(_)).collect { case PName(n) => n }
+      case _ => Nil
+    }
+    val colorSpace = doc.resolve(xm.getOrElse("ColorSpace", PNull)) match {
+      case PName(n) => n
+      case _ => ""
+    }
+    try {
+      filters match {
+        case Seq("DCTDecode") | Seq("DCT") =>
+          val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
+          ImageRef(0, 0, "", w, h, "image/jpeg", data)
+        case Seq("JPXDecode") =>
+          val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
+          ImageRef(0, 0, "", w, h, "image/jp2", data)
+        case fs if fs.forall(f => f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW") &&
+            bpc == 8 && w > 0 && h > 0 &&
+            (colorSpace == "DeviceRGB" || colorSpace == "DeviceGray") =>
+          val px = doc.decodedStream(ref).getOrElse(Array.emptyByteArray)
+          val ncomp = if (colorSpace == "DeviceRGB") 3 else 1
+          if (px.length < w * h * ncomp) ImageRef(0, 0, "", w, h, "", Array.emptyByteArray)
+          else {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * ncomp
+                val rgb =
+                  if (ncomp == 3)
+                    ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff)
+                  else { val g = px(i) & 0xff; (g << 16) | (g << 8) | g }
+                img.setRGB(x, y, rgb)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            ImageRef(0, 0, "", w, h, "image/png", bos.toByteArray)
+          }
+        case _ => ImageRef(0, 0, "", w, h, "", Array.emptyByteArray)
+      }
+    } catch {
+      case _: Exception => ImageRef(0, 0, "", w, h, "", Array.emptyByteArray)
     }
   }
 
@@ -604,8 +687,20 @@ object PdfText {
     * kerned TJ array whose -400 gap reconstructs the line's single space.
     * Font is unembedded Helvetica/WinAnsiEncoding (Type1 core-14 shape).
     */
-  def buildTextPdf(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+  def buildTextPdf(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] =
+    buildTextPdf(pages, compress, pages.map(_ => Nil))
+
+  /** `pageImages(i)` = (payload, width, height) triples embedded on page i
+    * as /DCTDecode image XObjects drawn after the text — the encode side
+    * of the image-sidecar round-trip (DCT passthrough never decodes, so
+    * any deterministic payload works as a stand-in JPEG body).
+    */
+  def buildTextPdf(
+      pages: Seq[Seq[String]],
+      compress: Boolean,
+      pageImages: Seq[Seq[(Array[Byte], Int, Int)]]): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
+    require(pageImages.length == pages.length, "one image list per page")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = ArrayBuffer[Int]()
@@ -652,17 +747,27 @@ object PdfText {
     val n = pages.length
     val contentBase = 3 + n
     val fontNum = contentBase + n
+    // image object numbers: fontNum+1.. in page order
+    val imgNums: Seq[Seq[Int]] = {
+      var next = fontNum + 1
+      pageImages.map(_.map { _ => val k = next; next += 1; k })
+    }
     w("%PDF-1.4\n")
     beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     beginObj(2)
     w(s"<< /Type /Pages /Count $n /Kids [ ${(0 until n).map(i => s"${3 + i} 0 R").mkString(" ")} ] >>\nendobj\n")
     pages.indices.foreach { i =>
       beginObj(3 + i)
+      val xobjs =
+        if (imgNums(i).isEmpty) ""
+        else s" /XObject << ${imgNums(i).zipWithIndex.map { case (num, j) => s"/Img$j $num 0 R" }.mkString(" ")} >>"
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
-        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${contentBase + i} 0 R >>\nendobj\n")
+        s"/Resources << /Font << /F1 $fontNum 0 R >>$xobjs >> /Contents ${contentBase + i} 0 R >>\nendobj\n")
     }
     pages.zipWithIndex.foreach { case (lines, i) =>
-      val raw = contentOf(lines)
+      val draws = pageImages(i).indices.map(j =>
+        s"q 200 0 0 100 72 ${420 - 110 * j} cm /Img$j Do Q\n").mkString
+      val raw = contentOf(lines) ++ draws.getBytes(StandardCharsets.ISO_8859_1)
       val payload = if (compress) deflate(raw) else raw
       val filter = if (compress) " /Filter /FlateDecode" else ""
       beginObj(contentBase + i)
@@ -672,6 +777,15 @@ object PdfText {
     }
     beginObj(fontNum)
     w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+    pageImages.zip(imgNums).foreach { case (imgs, nums) =>
+      imgs.zip(nums).foreach { case ((data, iw, ih), num) =>
+        beginObj(num)
+        w(s"<< /Type /XObject /Subtype /Image /Width $iw /Height $ih " +
+          s"/BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter /DCTDecode /Length ${data.length} >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+    }
     val xrefAt = out.size()
     val total = offsets.length + 1
     w(s"xref\n0 $total\n")

@@ -145,20 +145,42 @@ object Pipeline {
     val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     graft.extract.PdfBytes.pdfInfo(bytes) match {
       case Right(info) =>
-        val (pageParas: Seq[Seq[String]], textError: String) =
+        val (pages: Seq[graft.extract.PdfText.PageContent], textError: String) =
           if (info.isEncrypted || info.pageCount == 0) (Nil, "")
           else graft.extract.PdfText.extract(bytes) match {
-            case Right(pages) =>
-              (pages.map(p => graft.extract.PdfText.paragraphs(p.lines)
-                .map(_.trim).filter(_.nonEmpty)), "")
+            case Right(ps) => (ps, "")
             case Left(err) => (Nil, err)
           }
+        // media sidecar: byte-extractable image XObjects (JPEG passthrough
+        // / PNG re-encode) become img-K items in encounter order, like the
+        // reference converters' Image payloads (img-0.jpeg, img-1.jpeg in
+        // the marker goldens); non-extractable ones stay placeholders only
+        val media = scala.collection.mutable.ArrayBuffer[MediaItem]()
+        val pageImageRefs = pages.map { p =>
+          p.images.filter(_.data.nonEmpty).map { im =>
+            val ext = im.mime match {
+              case "image/jpeg" => "jpeg"
+              case "image/jp2" => "jp2"
+              case _ => "png"
+            }
+            val filename = s"img-${media.length}.$ext"
+            media += MediaItem(filename, im.mime, im.data)
+            filename
+          }
+        }
         val spans = {
           val out = scala.collection.mutable.ArrayBuffer[Span]()
           (1 to info.pageCount).foreach { i =>
             out += Span(graft.model.SpanKind.PageBreak, s"""{"next_page":$i}""", "", out.length)
-            pageParas.lift(i - 1).getOrElse(Nil).foreach { para =>
-              out += Span(graft.model.SpanKind.Text, para, "", out.length)
+            pages.lift(i - 1).foreach { p =>
+              graft.extract.PdfText.paragraphs(p.lines)
+                .map(_.trim).filter(_.nonEmpty).foreach { para =>
+                  out += Span(graft.model.SpanKind.Text, para, "", out.length)
+                }
+            }
+            pageImageRefs.lift(i - 1).getOrElse(Nil).foreach { filename =>
+              val id = filename.substring(0, filename.lastIndexOf('.'))
+              out += Span(graft.model.SpanKind.Image, id, filename, out.length)
             }
           }
           out.toSeq
@@ -175,7 +197,7 @@ object Pipeline {
           (if (textError.nonEmpty) Map("pdf_text_error" -> textError) else Map.empty)
         ExtractOut(r.doc_id, spans, r.mime_type, info.pageCount, "",
           title = if (info.title.nonEmpty) info.title else stem,
-          source_path = r.source_path, media = Nil, metadata = metadata)
+          source_path = r.source_path, media = media.toSeq, metadata = metadata)
       case Left(err) =>
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }

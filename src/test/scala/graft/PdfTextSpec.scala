@@ -117,6 +117,85 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == Seq("Heading", "body one body two", "new para"))
   }
 
+  test("REAL fixture image sidecar: the DCT XObject extracts as the JPEG byte-for-byte") {
+    val f = new java.io.File(s"$resources/pdf_sample.pdf")
+    assume(f.exists(), "reference fixtures not present")
+    val bytes = read(f.getPath)
+    val pages = PdfText.extract(bytes).fold(e => fail(e), identity)
+    // /Im13 (600x401 DCTDecode, /Length 50761 per the raw object dict —
+    // independently confirmed against the file bytes) draws on page 4,
+    // where the marker golden places its img-1.jpeg
+    val imgs = pages.flatMap(_.images).filter(_.data.nonEmpty)
+    assert(imgs.map(i => (i.width, i.height, i.mime, i.data.length)) ==
+      Seq((600, 401, "image/jpeg", 50761)))
+    assert((imgs.head.data(0) & 0xff) == 0xff && (imgs.head.data(1) & 0xff) == 0xd8) // JFIF SOI
+    assert(pages(3).images.nonEmpty && pages.take(3).forall(_.images.forall(_.data.isEmpty)))
+    // the ingestion route lifts it into the media sidecar + an image span
+    val out = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("pdf_sample.pdf", bytes))
+    assert(out.media.map(m => (m.media_ref, m.mime_type, m.content.length)) ==
+      Seq(("img-0.jpeg", "image/jpeg", 50761)))
+    assert(out.spans.exists(s => s.kind == "image" && s.media_ref == "img-0.jpeg"))
+  }
+
+  test("writer->interpreter image round-trip: DCT payload passthrough, multi-page") {
+    val imgs = Seq(
+      Seq(("fake-jpeg-payload-A".getBytes("ISO-8859-1"), 64, 48)),
+      Seq(("payload-B".getBytes("ISO-8859-1"), 32, 24),
+        ("payload-C".getBytes("ISO-8859-1"), 16, 12)),
+      Nil)
+    val pages = Seq(Seq("one"), Seq("two"), Seq("three"))
+    val bytes = PdfText.buildTextPdf(pages, compress = true, imgs)
+    val got = PdfText.extract(bytes).fold(e => fail(e), identity)
+    assert(got.map(_.images.size) == Seq(1, 2, 0))
+    assert(new String(got.head.images.head.data, "ISO-8859-1") == "fake-jpeg-payload-A")
+    assert(got(1).images.map(i => (new String(i.data, "ISO-8859-1"), i.width, i.height)) ==
+      Seq(("payload-B", 32, 24), ("payload-C", 16, 12)))
+    // text still extracts alongside the image draws
+    assert(got.map(_.lines.map(_.text)) == Seq(Seq("one"), Seq("two"), Seq("three")))
+  }
+
+  test("Flate DeviceRGB rasters re-encode as PNG with exact pixels") {
+    // hand-build a PDF whose image is Flate-compressed raw RGB
+    val w0 = 4; val h0 = 3
+    val px = Array.tabulate(w0 * h0 * 3)(i => ((i * 37) % 251).toByte)
+    val d = new java.util.zip.Deflater(); d.setInput(px); d.finish()
+    val bos = new java.io.ByteArrayOutputStream; val buf = new Array[Byte](256)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val flate = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(num: Int, body: String): Unit = { offsets += out.size(); w(s"$num 0 obj\n$body\nendobj\n") }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 100 100 ] " +
+      "/Resources << /XObject << /I 5 0 R >> >> /Contents 4 0 R >>")
+    val content = "q 50 0 0 50 10 10 cm /I Do Q"
+    obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    offsets += out.size()
+    w(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 /BitsPerComponent 8 " +
+      s"/ColorSpace /DeviceRGB /Filter /FlateDecode /Length ${flate.length} >>\nstream\n")
+    out.write(flate)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val pages = PdfText.extract(out.toByteArray).fold(e => fail(e), identity)
+    val img = pages.head.images.head
+    assert(img.mime == "image/png" && img.data.nonEmpty)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
+    assert(decoded.getWidth == w0 && decoded.getHeight == h0)
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val i = (y * w0 + x) * 3
+      val expect = ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff)
+      assert((decoded.getRGB(x, y) & 0xffffff) == expect, s"pixel ($x,$y)")
+    }
+  }
+
   test("Encodings: WinAnsi high block, MacRoman, glyph names, uniXXXX") {
     import graft.extract.Encodings
     assert(Encodings.base("WinAnsiEncoding")(0x93) == "“")
