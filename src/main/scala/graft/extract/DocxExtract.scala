@@ -30,9 +30,14 @@ object DocxExtract {
   sealed trait Block
   final case class Para(md: String) extends Block
   final case class Table(md: String) extends Block
+  /** An embedded picture, renamed to the canonical `img-K.<ext>`. */
+  final case class Pic(mediaRef: String) extends Block
   case object PageBreak extends Block
 
-  final case class DocxDoc(title: String, blocks: Seq[Block]) {
+  final case class DocxDoc(
+      title: String,
+      blocks: Seq[Block],
+      media: Seq[graft.model.MediaItem] = Nil) {
     def pageCount: Int = 1 + blocks.count(_ == PageBreak)
   }
 
@@ -42,10 +47,42 @@ object DocxExtract {
       val docXml = entries.getOrElse("word/document.xml",
         throw new IllegalStateException("no word/document.xml"))
       val title = entries.get("docProps/core.xml").map(coreTitle).getOrElse("")
-      Right(DocxDoc(title, parseDocument(docXml)))
+      // embedded media: a:blip r:embed="rId" → document rels → word/media
+      // part bytes, lifted as img-K items in encounter order (the docler
+      // Image payload shape)
+      val rels = entries.get("word/_rels/document.xml.rels")
+        .map(parseRels).getOrElse(Map.empty)
+      val media = mutable.ArrayBuffer[graft.model.MediaItem]()
+      val byRid = mutable.Map[String, String]()
+      def resolvePic(rid: String): Option[String] =
+        byRid.get(rid).orElse(rels.get(rid).flatMap { target =>
+          val path = if (target.startsWith("/")) target.drop(1) else "word/" + target
+          entries.get(path).map { data =>
+            val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+            val filename = s"img-${media.length}.$ext"
+            media += graft.model.MediaItem(filename,
+              graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream"), data)
+            byRid(rid) = filename
+            filename
+          }
+        })
+      Right(DocxDoc(title, parseDocument(docXml, resolvePic), media.toSeq))
     } catch {
       case e: Exception => Left(s"docx_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+
+  /** Part rels: Relationship Id → Target (part-relative path). */
+  private[extract] def parseRels(xml: Array[Byte]): Map[String, String] = {
+    val r = reader(xml)
+    val out = Map.newBuilder[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+          out += attr(r, "Id") -> attr(r, "Target")
+      }
+    } finally r.close()
+    out.result()
+  }
 
   /** Blocks → the canonical span stream (page_break marker per page, one
     * text span per block) — same shape as [[PdfText]]-backed PDF ingestion.
@@ -61,6 +98,9 @@ object DocxExtract {
         out += Span(SpanKind.PageBreak, s"""{"next_page":$page}""", "", out.length)
       case Para(md) => out += Span(SpanKind.Text, md, "", out.length)
       case Table(md) => out += Span(SpanKind.Text, md, "", out.length)
+      case Pic(ref) =>
+        val id = ref.substring(0, ref.lastIndexOf('.'))
+        out += Span(SpanKind.Image, id, ref, out.length)
     }
     out.toSeq
   }
@@ -124,7 +164,9 @@ object DocxExtract {
 
   private val HeadingStyle = """[Hh]eading(\d)""".r
 
-  private def parseDocument(xml: Array[Byte]): Seq[Block] = {
+  private def parseDocument(
+      xml: Array[Byte],
+      resolvePic: String => Option[String] = _ => None): Seq[Block] = {
     val r = reader(xml)
     val blocks = ArrayBuffer[Block]()
     // paragraph state (outside tables)
@@ -133,6 +175,7 @@ object DocxExtract {
     var isList = false
     var pendingPageBreak = false
     val pText = new StringBuilder
+    val pendingPics = ArrayBuffer[String]()
     // table state
     var tblDepth = 0
     var rows = ArrayBuffer[ArrayBuffer[String]]()
@@ -149,6 +192,8 @@ object DocxExtract {
         }
         blocks += Para(md)
       }
+      pendingPics.foreach(blocks += Pic(_))
+      pendingPics.clear()
       if (pendingPageBreak) blocks += PageBreak
       pText.clear(); pStyle = ""; isList = false; pendingPageBreak = false; inP = false
     }
@@ -172,6 +217,9 @@ object DocxExtract {
                 else pText += ' '
               case "tab" =>
                 if (tblDepth > 0) cell += ' ' else pText += ' '
+              case "blip" if tblDepth == 0 =>
+                val rid = attr(r, "embed") // r:embed's local name
+                if (rid.nonEmpty) resolvePic(rid).foreach(pendingPics += _)
               case "t" =>
                 val txt = r.getElementText
                 if (tblDepth > 0) cell ++= txt else if (inP) pText ++= txt
@@ -224,7 +272,15 @@ object DocxExtract {
     * tables (rendered as w:tbl), page breaks (an empty paragraph carrying
     * `w:br w:type="page"`).
     */
-  def buildDocx(title: String, blocks: Seq[Block]): Array[Byte] = {
+  def buildDocx(title: String, blocks: Seq[Block]): Array[Byte] =
+    buildDocx(title, blocks, Nil)
+
+  /** `media(k)` = (ext, payload) for the k-th [[Pic]] block in document
+    * order; the writer emits the drawing run, the document-rels entry, and
+    * the binary `word/media/imageK.<ext>` part.
+    */
+  def buildDocx(title: String, blocks: Seq[Block],
+      media: Seq[(String, Array[Byte])]): Array[Byte] = {
     def esc(s: String): String = s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
@@ -234,6 +290,7 @@ object DocxExtract {
     }
     val W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
     val body = new StringBuilder
+    var picCount = 0
     def para(text: String, style: String, list: Boolean): Unit = {
       body ++= "<w:p>"
       if (style.nonEmpty || list) {
@@ -265,10 +322,21 @@ object DocxExtract {
         body ++= "</w:tbl>"
       case PageBreak =>
         body ++= """<w:p><w:r><w:br w:type="page"/></w:r></w:p>"""
+      case Pic(_) =>
+        val k = picCount
+        picCount += 1
+        body ++= s"""<w:p><w:r><w:drawing><a:blip r:embed="rIdImg$k"/></w:drawing></w:r></w:p>"""
     }
     val documentXml =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<w:document xmlns:w="$W"><w:body>${body.toString}</w:body></w:document>""".stripMargin
+         |<w:document xmlns:w="$W" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><w:body>${body.toString}</w:body></w:document>""".stripMargin
+    val docRels =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">${
+        media.zipWithIndex.map { case ((ext, _), k) =>
+          s"""<Relationship Id="rIdImg$k" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="media/image$k.$ext"/>"""
+        }.mkString
+      }</Relationships>""".stripMargin
     val coreXml =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/"><dc:title>${esc(title)}</dc:title></cp:coreProperties>""".stripMargin
@@ -282,17 +350,23 @@ object DocxExtract {
     val out = new java.io.ByteArrayOutputStream()
     val zout = new java.util.zip.ZipOutputStream(out)
     try {
-      Seq(
+      val textParts = Seq(
         "[Content_Types].xml" -> contentTypes,
         "_rels/.rels" -> rels,
         "word/document.xml" -> documentXml,
-        "docProps/core.xml" -> coreXml).foreach { case (name, content) =>
-        val e = new java.util.zip.ZipEntry(name)
-        e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
-        zout.putNextEntry(e)
-        zout.write(content.getBytes(StandardCharsets.UTF_8))
-        zout.closeEntry()
+        "docProps/core.xml" -> coreXml) ++
+        (if (media.nonEmpty) Seq("word/_rels/document.xml.rels" -> docRels) else Nil)
+      val binParts = media.zipWithIndex.map { case ((ext, data), k) =>
+        s"word/media/image$k.$ext" -> data
       }
+      (textParts.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ binParts)
+        .foreach { case (name, content) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
+          zout.putNextEntry(e)
+          zout.write(content)
+          zout.closeEntry()
+        }
     } finally zout.close()
     out.toByteArray
   }

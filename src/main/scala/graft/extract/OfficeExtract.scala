@@ -28,7 +28,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object OfficeExtract {
 
-  import DocxExtract.{readZip, reader, attr, coreTitle, collapseWs, tableMd}
+  import DocxExtract.{readZip, reader, attr, coreTitle, collapseWs, tableMd, parseRels}
 
   final case class Slide(title: String, blocks: Seq[String])
   final case class PptxDoc(title: String, slides: Seq[Slide])
@@ -196,19 +196,6 @@ object OfficeExtract {
       }
     } finally r.close()
     out.toSeq
-  }
-
-  /** workbook.xml.rels: Relationship Id → Target (xl-relative path). */
-  private def parseRels(xml: Array[Byte]): Map[String, String] = {
-    val r = reader(xml)
-    val out = Map.newBuilder[String, String]
-    try {
-      while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
-          out += attr(r, "Id") -> attr(r, "Target")
-      }
-    } finally r.close()
-    out.result()
   }
 
   /** `r="BC23"` → 0-based column 54; empty ref → next position. */

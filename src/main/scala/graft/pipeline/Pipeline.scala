@@ -218,7 +218,7 @@ object Pipeline {
           if (name.lastIndexOf('.') > 0) name.substring(0, name.lastIndexOf('.')) else name
         ExtractOut(r.doc_id, spans, r.mime_type, doc.pageCount, "",
           title = if (doc.title.nonEmpty) doc.title else stem,
-          source_path = r.source_path, media = Nil,
+          source_path = r.source_path, media = doc.media,
           metadata = Map("docx_blocks" -> doc.blocks.size.toString))
       case Left(err) =>
         ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)

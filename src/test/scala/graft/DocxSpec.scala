@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.DocxExtract
-import graft.extract.DocxExtract.{Para, PageBreak, Table}
+import graft.extract.DocxExtract.{Para, PageBreak, Pic, Table}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Byte-level DOCX extraction: writer→parser round-trips over every block
@@ -81,6 +81,33 @@ class DocxSpec extends AnyFunSuite {
     val bad = graft.pipeline.Pipeline.extractOne(
       graft.io.Ingest.toRawDoc("x.docx", "PK garbage".getBytes))
     assert(bad.failure.startsWith("docx_parse_error"))
+  }
+
+  test("embedded media: blip→rels→word/media bytes lift as img-K items") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 9, 8)
+    val blocks = Seq(
+      Para("before"),
+      Pic("img-0.png"),
+      Para("between"),
+      Pic("img-1.jpeg"),
+      PageBreak,
+      Para("after"))
+    val bytes = DocxExtract.buildDocx("Pics", blocks, Seq(("png", png), ("jpeg", jpg)))
+    val doc = DocxExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.blocks == blocks)
+    assert(doc.media.map(m => (m.media_ref, m.mime_type)) ==
+      Seq(("img-0.png", "image/png"), ("img-1.jpeg", "image/jpeg")))
+    assert(doc.media(0).content.sameElements(png) && doc.media(1).content.sameElements(jpg))
+    // span stream carries image spans; ingestion lifts the sidecar
+    val out = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("p.docx", bytes))
+    assert(out.media.map(_.media_ref) == Seq("img-0.png", "img-1.jpeg"))
+    assert(out.spans.filter(_.kind == "image").map(s => (s.text, s.media_ref)) ==
+      Seq(("img-0", "img-0.png"), ("img-1", "img-1.jpeg")))
+    // the same rid referenced twice reuses one media item (cache)
+    val doc2 = DocxExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc2.media.size == 2)
   }
 
   test("title fallback: empty core title → filename stem") {
