@@ -705,6 +705,44 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_odt" -> ((s, dir) => {
+      // ODT through the REAL ingestion route: heading + body + list item +
+      // table per doc, every field arithmetic in doc_id
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          import graft.extract.DocxExtract.{Para, Table}
+          val blocks = Seq(
+            Para(s"# Doc $id heading"),
+            Para(s"Body text ${(id * 5) % 13}"),
+            Para(s"- entry-${id % 4}"),
+            Table(s"|K|V|\n|---|---|\n|k${id % 3}|${id % 6}|"))
+          val bytes = graft.extract.OdtExtract.buildOdt(s"Odt $id", blocks)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.odt", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
+    "q_rtf" -> ((s, dir) => {
+      // RTF through the REAL ingestion route: control-word machine with a
+      // decoy fonttbl, \info title, and a \page break on even ids
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val paras = Seq(s"Rtf alpha ${id % 8}", s"Second ${(id + 3) % 5}")
+          val breaks: Set[Int] = if (id % 2 == 0) Set(1) else Set.empty
+          val rtf = graft.extract.RtfExtract.buildRtf(s"Rtf $id", paras, breaks)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.rtf", rtf.getBytes("ISO-8859-1")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
     "q_pdf_images" -> ((s, dir) => {
       // PDF image SIDECAR extraction: deterministic per-doc PDFs embed
       // DCTDecode image XObjects (passthrough: the payload IS the file) →
@@ -1403,6 +1441,24 @@ object SparkEntry {
         |FROM documents, (SELECT unnest([1,2,3]) AS p) t
         |WHERE p <= 1 + doc_id % 3
         |GROUP BY doc_id""".stripMargin,
+    "q_odt" ->
+      // 1 page; pb + heading + body + list + table = 5 spans
+      """SELECT doc_id, 'Odt ' || doc_id AS title,
+        |  CAST(1 AS INT) AS page_count, CAST(5 AS INT) AS n_spans,
+        |  '# Doc ' || doc_id || ' heading' || chr(10) ||
+        |  'Body text ' || ((doc_id * 5) % 13) || chr(10) ||
+        |  '- entry-' || (doc_id % 4) || chr(10) ||
+        |  '|K|V|' || chr(10) || '|---|---|' || chr(10) ||
+        |  '|k' || (doc_id % 3) || '|' || (doc_id % 6) || '|' AS text_all
+        |FROM documents""".stripMargin,
+    "q_rtf" ->
+      // page break before paragraph 2 on even ids
+      """SELECT doc_id, 'Rtf ' || doc_id AS title,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS page_count,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_spans,
+        |  'Rtf alpha ' || (doc_id % 8) || chr(10) ||
+        |  'Second ' || ((doc_id + 3) % 5) AS text_all
+        |FROM documents""".stripMargin,
     "q_pdf_images" ->
       // img-0 on page 1 always; img-1 on page 2 for even ids with >=2 pages
       """SELECT doc_id, 'img-0.jpeg' AS media_ref, 'image/jpeg' AS mime_type,

@@ -296,6 +296,14 @@ object Ingest {
         RawDoc(relPath, "epub_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
+      case "application/vnd.oasis.opendocument.text" =>
+        RawDoc(relPath, "odt_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/rtf" =>
+        RawDoc(relPath, "rtf_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on

@@ -78,6 +78,8 @@ object Pipeline {
       if (r.payload_kind == "pptx_bytes") return extractPptxOne(r)
       if (r.payload_kind == "xlsx_bytes") return extractXlsxOne(r)
       if (r.payload_kind == "epub_bytes") return extractEpubOne(r)
+      if (r.payload_kind == "odt_bytes") return extractOdtOne(r)
+      if (r.payload_kind == "rtf_bytes") return extractRtfOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -271,6 +273,38 @@ object Pipeline {
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
           source_path = r.source_path, media = Nil,
           metadata = Map("epub_chapters" -> doc.chapters.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** ODT extraction ([[graft.extract.OdtExtract]]): content.xml headings/
+    * lists/tables + Pictures media lift, dc:title from meta.xml.
+    */
+  private def extractOdtOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.OdtExtract.extract(bytes) match {
+      case Right(doc) =>
+        ExtractOut(r.doc_id, graft.extract.OdtExtract.toSpans(doc), r.mime_type,
+          doc.pageCount, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = doc.media,
+          metadata = Map("odt_blocks" -> doc.blocks.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** RTF extraction ([[graft.extract.RtfExtract]]): control-word state
+    * machine — paragraphs, \page breaks, \info title.
+    */
+  private def extractRtfOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.RtfExtract.extract(bytes) match {
+      case Right(doc) =>
+        ExtractOut(r.doc_id, graft.extract.RtfExtract.toSpans(doc), r.mime_type,
+          doc.pageCount, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("rtf_paragraphs" -> doc.paragraphs.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
   }

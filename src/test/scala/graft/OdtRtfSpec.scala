@@ -1,0 +1,93 @@
+package graft
+
+import graft.extract.DocxExtract.{Para, PageBreak, Pic, Table}
+import graft.extract.{OdtExtract, RtfExtract}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ODT (content.xml) and RTF (control-word machine) extraction. */
+class OdtRtfSpec extends AnyFunSuite {
+
+  test("odt round-trip: headings, lists, tables, title") {
+    val blocks = Seq(
+      Para("# Main Heading"),
+      Para("## Second level"),
+      Para("Plain paragraph text."),
+      Para("- item one"),
+      Para("- item two"),
+      Table("|A|B|\n|---|---|\n|1|2|"))
+    val bytes = OdtExtract.buildOdt("Odt Title", blocks)
+    val doc = OdtExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.title == "Odt Title")
+    assert(doc.blocks == blocks)
+  }
+
+  test("odt Pictures media lift as img-K items") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 5, 6)
+    val blocks = Seq(Para("text"), Pic("img-0.png"))
+    val bytes = OdtExtract.buildOdt("t", blocks, Seq(("png", png)))
+    val doc = OdtExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.blocks == blocks)
+    assert(doc.media.map(_.media_ref) == Seq("img-0.png"))
+    assert(doc.media.head.content.sameElements(png))
+  }
+
+  test("odt escapes, text:s runs, nested note skipping") {
+    val content = ("""<?xml version="1.0"?>
+      |<office:document-content xmlns:office="urn:o" xmlns:text="urn:t">
+      |<office:body><office:text>
+      |<text:p>a &amp; b<text:s text:c="3"/>c<text:note><text:p>FOOTNOTE</text:p></text:note> d</text:p>
+      |</office:text></office:body></office:document-content>""").stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    z.write(content.getBytes("UTF-8")); z.closeEntry(); z.close()
+    val doc = OdtExtract.extract(out.toByteArray).fold(e => fail(e), identity)
+    assert(doc.blocks == Seq(Para("a & b c d")))
+  }
+
+  test("rtf: paragraphs, escapes, hex and unicode, fonttbl/info skipped, title") {
+    val rtf = RtfExtract.buildRtf("Rtf Title",
+      Seq("first paragraph", "braces {x} and back\\slash", "café 中"))
+    val doc = RtfExtract.extract(rtf.getBytes("ISO-8859-1")).fold(e => fail(e), identity)
+    assert(doc.title == "Rtf Title")
+    assert(doc.paragraphs == Seq(
+      "first paragraph", "braces {x} and back\\slash", "café 中"))
+    assert(doc.pageCount == 1)
+  }
+
+  test("rtf: hex escapes, uc skip counts, page breaks") {
+    // NB: Scala pre-processes \uXXXX in raw strings — build via escapes
+    val rtf = "{\\rtf1\\ansi {\\fonttbl{\\f0 X;}}caf\\'e9 one\\par\\page two\\par" +
+      "\\uc1\\u233?x\\par}"
+    val doc = RtfExtract.extract(rtf.getBytes("ISO-8859-1")).fold(e => fail(e), identity)
+    assert(doc.paragraphs == Seq("café one", "two", "éx"))
+    assert(doc.pageCount == 2)
+    assert(RtfExtract.toSpans(doc).count(_.kind == "page_break") == 2)
+  }
+
+  test("rtf: non-rtf and malformed inputs are Lefts/graceful") {
+    assert(RtfExtract.extract("plain text".getBytes).isLeft)
+    // unbalanced groups terminate without throwing
+    val doc = RtfExtract.extract("{\\rtf1 open {group text".getBytes)
+      .fold(e => fail(e), identity)
+    assert(doc.paragraphs == Seq("open group text"))
+  }
+
+  test("ingestion routes: .odt and .rtf extract through the pipeline") {
+    val odt = OdtExtract.buildOdt("Routed Odt", Seq(Para("# H"), Para("body")))
+    val o1 = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc("a/x.odt", odt))
+    assert(o1.failure.isEmpty && o1.title == "Routed Odt")
+    assert(o1.spans.map(_.text) == Seq("""{"next_page":1}""", "# H", "body"))
+
+    val rtf = RtfExtract.buildRtf("Routed Rtf", Seq("alpha", "beta"))
+    val o2 = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("a/x.rtf", rtf.getBytes("ISO-8859-1")))
+    assert(o2.failure.isEmpty && o2.title == "Routed Rtf")
+    assert(o2.spans.map(_.text) == Seq("""{"next_page":1}""", "alpha", "beta"))
+
+    assert(graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("b.odt", "junk".getBytes)).failure.startsWith("odt_parse_error"))
+    assert(graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("b.rtf", "junk".getBytes)).failure.startsWith("rtf_parse_error"))
+  }
+}
