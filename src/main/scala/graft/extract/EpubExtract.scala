@@ -10,18 +10,31 @@ import scala.collection.mutable.ArrayBuffer
   * directly: META-INF/container.xml names the OPF package, the OPF
   * manifest+spine give the reading order, and each XHTML chapter runs
   * through the existing [[HtmlExtract]] boilerplate-strip pipeline. One
-  * page per spine document, chapter spans re-offset into a single stream;
-  * the dc:title metadata supplies the document title.
+  * page per spine document, chapter spans re-offset into a single stream
+  * with GLOBAL img-K renumbering; chapter image payloads resolve from the
+  * container (chapter-relative hrefs, `../` normalized) into the media
+  * sidecar; the dc:title metadata supplies the document title.
   *
-  * Out of scope (documented): embedded media payload lifting, fixed-layout
-  * rendition properties, encrypted (DRM) containers — those surface as
-  * failure rows. O(bytes) per document.
+  * Out of scope (documented): fixed-layout rendition properties and
+  * encrypted (DRM) containers — those surface as failure rows. O(bytes)
+  * per document.
   */
 object EpubExtract {
 
   import DocxExtract.{readZip, reader, attr}
 
-  final case class EpubDoc(title: String, chapters: Seq[HtmlExtract.Extracted])
+  /** `spans` carry GLOBAL img-K numbering (chapter-local ids are rewritten
+    * in encounter order across the whole book); `media` has one item per
+    * image span — payload bytes resolved from the container when the img
+    * src names a zip entry (relative to its chapter, `../` normalized),
+    * empty bytes when it points outside (remote/HTTP images keep the
+    * reference-only MediaItem shape the model documents).
+    */
+  final case class EpubDoc(
+      title: String,
+      chapters: Seq[HtmlExtract.Extracted],
+      spans: Seq[graft.model.Span],
+      media: Seq[graft.model.MediaItem])
 
   def extract(bytes: Array[Byte]): Either[String, EpubDoc] =
     try {
@@ -36,32 +49,49 @@ object EpubExtract {
         if (i >= 0) opfPath.substring(0, i + 1) else ""
       }
       val (title, manifest, spine) = parseOpf(opf)
-      val chapters = spine.flatMap(manifest.get).flatMap { href =>
-        entries.get(normalize(opfDir + href)).map { xhtml =>
-          HtmlExtract.extract(new String(xhtml, StandardCharsets.UTF_8))
+      val chapterPairs: Seq[(String, HtmlExtract.Extracted)] =
+        spine.flatMap(manifest.get).flatMap { href =>
+          val path = normalize(opfDir + href)
+          entries.get(path).map { xhtml =>
+            path -> HtmlExtract.extract(new String(xhtml, StandardCharsets.UTF_8))
+          }
+        }
+      if (chapterPairs.isEmpty) throw new IllegalStateException("empty spine")
+
+      import graft.model.{MediaItem, Span, SpanKind}
+      val spans = ArrayBuffer[Span]()
+      val media = ArrayBuffer[MediaItem]()
+      chapterPairs.zipWithIndex.foreach { case ((path, ch), i) =>
+        val chapterDir = {
+          val j = path.lastIndexOf('/')
+          if (j >= 0) path.substring(0, j + 1) else ""
+        }
+        // chapter-local img-K → global img-K, payload from the container
+        val rename: Map[String, String] = ch.images.zipWithIndex.map { case (im, k) =>
+          val ext = im.filename.substring(im.filename.lastIndexOf('.') + 1)
+          val global = s"img-${media.length + k}.$ext"
+          im.filename -> global
+        }.toMap
+        ch.images.zip(ch.imageSrcs).foreach { case (im, src) =>
+          val payload = entries.getOrElse(normalize(chapterDir + src), Array.emptyByteArray)
+          media += MediaItem(rename(im.filename), im.mime_type, payload)
+        }
+        spans += Span(SpanKind.PageBreak, s"""{"next_page":${i + 1}}""", "", spans.length)
+        ch.spans.filterNot(_.kind == SpanKind.PageBreak).foreach { sp =>
+          if (sp.kind == SpanKind.Image) {
+            val global = rename.getOrElse(sp.media_ref, sp.media_ref)
+            val id = global.substring(0, global.lastIndexOf('.'))
+            spans += Span(sp.kind, id, global, spans.length)
+          } else spans += Span(sp.kind, sp.text, sp.media_ref, spans.length)
         }
       }
-      if (chapters.isEmpty) throw new IllegalStateException("empty spine")
-      Right(EpubDoc(title, chapters))
+      Right(EpubDoc(title, chapterPairs.map(_._2), spans.toSeq, media.toSeq))
     } catch {
       case e: Exception => Left(s"epub_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
-  /** Chapters → one span stream: a page_break per spine document, chapter
-    * spans re-offset (chapter-internal page_breaks don't occur — HTML has
-    * no page concept).
-    */
-  def toSpans(doc: EpubDoc): Seq[graft.model.Span] = {
-    import graft.model.{Span, SpanKind}
-    val out = ArrayBuffer[Span]()
-    doc.chapters.zipWithIndex.foreach { case (ch, i) =>
-      out += Span(SpanKind.PageBreak, s"""{"next_page":${i + 1}}""", "", out.length)
-      ch.spans.filterNot(_.kind == SpanKind.PageBreak).foreach { sp =>
-        out += Span(sp.kind, sp.text, sp.media_ref, out.length)
-      }
-    }
-    out.toSeq
-  }
+  /** The globally-renumbered span stream (built in [[extract]]). */
+  def toSpans(doc: EpubDoc): Seq[graft.model.Span] = doc.spans
 
   private def normalize(path: String): String =
     path.split('/').foldLeft(List.empty[String]) {
@@ -111,7 +141,14 @@ object EpubExtract {
     * container.xml → content.opf (manifest + spine) → one XHTML file per
     * chapter.
     */
-  def buildEpub(title: String, chapters: Seq[String]): Array[Byte] = {
+  def buildEpub(title: String, chapters: Seq[String]): Array[Byte] =
+    buildEpub(title, chapters, Nil)
+
+  /** `extraEntries` = additional container parts (e.g. `OEBPS/images/x.png`
+    * payload bytes referenced by chapter `<img src="images/x.png">`).
+    */
+  def buildEpub(title: String, chapters: Seq[String],
+      extraEntries: Seq[(String, Array[Byte])]): Array[Byte] = {
     def esc(s: String): String = s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
@@ -132,16 +169,17 @@ object EpubExtract {
     val out = new java.io.ByteArrayOutputStream()
     val zout = new java.util.zip.ZipOutputStream(out)
     try {
-      (Seq(
+      ((Seq(
         "mimetype" -> "application/epub+zip",
         "META-INF/container.xml" -> container,
         "OEBPS/content.opf" -> opf) ++
         chapters.zipWithIndex.map { case (html, i) => s"OEBPS/ch$i.xhtml" -> html })
+        .map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ extraEntries)
         .foreach { case (name, content) =>
           val e = new java.util.zip.ZipEntry(name)
           e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
           zout.putNextEntry(e)
-          zout.write(content.getBytes(StandardCharsets.UTF_8))
+          zout.write(content)
           zout.closeEntry()
         }
     } finally zout.close()

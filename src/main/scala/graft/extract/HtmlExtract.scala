@@ -49,7 +49,7 @@ object HtmlExtract {
       var isBlockquote: Boolean = false,
       var isPre: Boolean = false,
       var inBoiler: Boolean = false,
-      images: ArrayBuffer[(String, String)] = ArrayBuffer.empty) { // (alt, srcExt)
+      images: ArrayBuffer[(String, String, String)] = ArrayBuffer.empty) { // (alt, srcExt, src)
     def totalChars: Int = text.length
     def linkDensity: Double =
       if (totalChars == 0) if (images.nonEmpty) 0.0 else 1.0
@@ -60,7 +60,10 @@ object HtmlExtract {
     *               converter-provided title of the Document assembly
     *               (converters/base.py:208: `result.title or path.stem`)
     */
-  final case class Extracted(spans: Seq[Span], images: Seq[NormImage], title: String = "")
+  /** `imageSrcs(k)` = the original `src` attribute of `images(k)` —
+    * container-aware callers (EPUB) resolve payload bytes through it. */
+  final case class Extracted(spans: Seq[Span], images: Seq[NormImage], title: String = "",
+      imageSrcs: Seq[String] = Nil)
 
   /** Extract main-content spans from an HTML document. Deterministic. */
   def extract(html: String): Extracted = {
@@ -188,7 +191,7 @@ object HtmlExtract {
                         .filter(e => e.length <= 4 && e.forall(_.isLetterOrDigit))
                         .getOrElse("png").toLowerCase
                       if (inCell) () // images inside table cells dropped
-                      else cur.images += ((alt, ext))
+                      else cur.images += ((alt, ext, src))
                     case "table" =>
                       if (tableDepth == 0) flush()
                       tableDepth += 1
@@ -290,6 +293,7 @@ object HtmlExtract {
   private def toSpans(blocks: IndexedSeq[Block], title: String): Extracted = {
     val spans = ArrayBuffer.empty[Span]
     val images = ArrayBuffer.empty[NormImage]
+    val imageSrcs = ArrayBuffer.empty[String]
     blocks.foreach { b =>
       val txt = b.text.toString
       if (txt.nonEmpty) {
@@ -301,14 +305,15 @@ object HtmlExtract {
           else txt
         spans += Span(SpanKind.Text, md, "", spans.length)
       }
-      b.images.foreach { case (_, ext) =>
+      b.images.foreach { case (_, ext, src) =>
         val id = s"img-${images.length}"
         val filename = s"$id.$ext"
         images += NormImage(id, filename, s"image/$ext", "")
+        imageSrcs += src
         spans += Span(SpanKind.Image, id, filename, spans.length)
       }
     }
-    Extracted(spans.toSeq, images.toSeq, title)
+    Extracted(spans.toSeq, images.toSeq, title, imageSrcs.toSeq)
   }
 
   // -------------------------------------------------------------------- utils

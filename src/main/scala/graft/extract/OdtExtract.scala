@@ -110,12 +110,15 @@ object OdtExtract {
                 if (tblDepth == 1) rows = ArrayBuffer()
               case "table-row" if tblDepth == 1 => rows += ArrayBuffer()
               case "table-cell" if tblDepth == 1 => cell = new StringBuilder
-              case "h" if inBody && tblDepth == 0 =>
+              case "h" if inBody =>
                 paraDepth += 1
-                headingLevel = {
+                if (tblDepth == 0) headingLevel = {
                   val l = attr(r, "outline-level")
                   if (l.nonEmpty && l.forall(_.isDigit)) l.toInt else 1
                 }
+                // heading in a table cell: its TEXT still belongs to the
+                // cell (heading markup has no pipe-table rendering)
+                else if (cell.nonEmpty) cell += ' '
               case "p" if inBody =>
                 paraDepth += 1
                 if (tblDepth > 0 && cell.nonEmpty) cell += ' '

@@ -45,7 +45,6 @@ object PdfText {
 
   /** One assembled line segment in device space (y axis UP, PDF points). */
   final case class Line(x: Double, y: Double, width: Double, size: Double, text: String)
-  /** A positioned image placeholder (Do /Image or inline BI..EI). */
   /** A positioned image occurrence. `data` carries the REAL payload when
     * the stream is byte-extractable: /DCTDecode passthrough (the decrypted
     * payload IS the JPEG), /JPXDecode passthrough (JPEG 2000), or a
@@ -575,20 +574,19 @@ object PdfText {
           else {
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val i = (y * w + x) * ncomp
-                val rgb =
-                  if (ncomp == 3)
-                    ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff)
-                  else { val g = px(i) & 0xff; (g << 16) | (g << 8) | g }
-                img.setRGB(x, y, rgb)
-                x += 1
-              }
-              y += 1
+            // one bulk raster write — per-pixel setRGB is a synchronized
+            // call per pixel (~8.7M calls on a full-page scan)
+            val packed = new Array[Int](w * h)
+            var k = 0
+            while (k < packed.length) {
+              val i = k * ncomp
+              packed(k) =
+                if (ncomp == 3)
+                  ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff)
+                else { val g = px(i) & 0xff; (g << 16) | (g << 8) | g }
+              k += 1
             }
+            img.setRGB(0, 0, w, h, packed, 0, w)
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", bos)
             ImageRef(0, 0, "", w, h, "image/png", bos.toByteArray)

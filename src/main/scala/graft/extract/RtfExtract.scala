@@ -22,11 +22,14 @@ object RtfExtract {
     def pageCount: Int = 1 + pageBreaks.size
   }
 
-  /** Destinations whose content is data, not document text. */
+  /** Destinations whose content is data, not document text. `\fldinst`
+    * (the field INSTRUCTION, e.g. the HYPERLINK target) skips; the field
+    * group itself and `\fldrslt` (the display text) flow as content.
+    */
   private val SkipDests = Set(
     "fonttbl", "colortbl", "stylesheet", "pict", "object", "info",
     "header", "footer", "headerl", "headerr", "footerl", "footerr",
-    "ftnsep", "ftnsepc", "xe", "tc", "field" /* keep fldrslt via special-case */)
+    "ftnsep", "ftnsepc", "xe", "tc", "fldinst")
 
   def extract(bytes: Array[Byte]): Either[String, RtfDoc] =
     try {
@@ -44,14 +47,16 @@ object RtfExtract {
         cur.clear()
       }
 
-      // group state
+      // group state: skipAt = group depth where a skip destination began
+      // (-1 = not skipping); destinations cannot nest while skipping, so a
+      // single watermark suffices
       var depth = 0
-      val skipDepths = ArrayBuffer[Int]() // depths at which skipping began
+      var skipAt = -1
       val ucStack = ArrayBuffer[Int](1)
       var inInfoTitle = false
       var titleDepth = -1
       val titleBuf = new StringBuilder
-      def skipping: Boolean = skipDepths.nonEmpty
+      def skipping: Boolean = skipAt >= 0
       var i = 0
       var pendingUcSkip = 0
 
@@ -83,7 +88,7 @@ object RtfExtract {
             case '*' =>
               // \* prefixes an ignorable destination: skip this group
               i += 1
-              if (!skipping) skipDepths += depth
+              if (!skipping) skipAt = depth
             case _ => i += 1
           }
           return
@@ -101,18 +106,19 @@ object RtfExtract {
         if (i < s.length && s(i) == ' ') i += 1 // delimiter space is consumed
         val num = if (numStr.nonEmpty) numStr.toInt else Int.MinValue
 
-        word match {
-          case _ if pendingUcSkip > 0 && word != "u" =>
-            pendingUcSkip = 0 // a control word ends a pending uc skip run
-            handleWord(word, num)
-          case _ => handleWord(word, num)
-        }
+        if (pendingUcSkip > 0 && word != "u")
+          pendingUcSkip = 0 // a control word ends a pending uc skip run
+        handleWord(word, num)
       }
 
       def handleWord(word: String, num: Int): Unit = word match {
         case "par" | "line" if !skipping => flush()
         case "page" if !skipping => flush(); pageBreaks += paragraphs.length
         case "tab" if !skipping => cur += ' '
+        case "bin" =>
+          // \binN: the next N bytes are RAW binary (may contain { } \) —
+          // skip them wholesale or group tracking desynchronizes
+          if (num != Int.MinValue && num > 0) i = math.min(s.length, i + num)
         case "uc" => ucStack(ucStack.length - 1) = math.max(0, num)
         case "u" =>
           if (!skipping || inInfoTitle) {
@@ -125,7 +131,7 @@ object RtfExtract {
           inInfoTitle = true
           titleDepth = depth
         case d if SkipDests.contains(d) && !skipping =>
-          skipDepths += depth
+          skipAt = depth
         case _ => ()
       }
 
@@ -139,8 +145,7 @@ object RtfExtract {
               if (title.isEmpty) title = DocxExtract.collapseWs(titleBuf.toString)
               inInfoTitle = false
             }
-            if (skipDepths.nonEmpty && depth < skipDepths.last)
-              skipDepths.remove(skipDepths.length - 1)
+            if (skipAt >= 0 && depth < skipAt) skipAt = -1
           case '\\' => readControl()
           case '\r' | '\n' => i += 1 // raw newlines are ignored in RTF
           case ch =>
@@ -169,6 +174,12 @@ object RtfExtract {
         out += Span(SpanKind.PageBreak, s"""{"next_page":$page}""", "", out.length)
       }
       out += Span(SpanKind.Text, p, "", out.length)
+    }
+    // a TRAILING \page (no paragraph after it) still opens a page: emit
+    // its marker so page_count == span-derived pages
+    if (doc.pageBreaks.contains(doc.paragraphs.length)) {
+      page += 1
+      out += Span(SpanKind.PageBreak, s"""{"next_page":$page}""", "", out.length)
     }
     out.toSeq
   }

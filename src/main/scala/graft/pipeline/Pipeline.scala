@@ -268,10 +268,9 @@ object Pipeline {
     val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     graft.extract.EpubExtract.extract(bytes) match {
       case Right(doc) =>
-        val spans = graft.extract.EpubExtract.toSpans(doc)
-        ExtractOut(r.doc_id, spans, r.mime_type, doc.chapters.size, "",
+        ExtractOut(r.doc_id, doc.spans, r.mime_type, doc.chapters.size, "",
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
-          source_path = r.source_path, media = Nil,
+          source_path = r.source_path, media = doc.media,
           metadata = Map("epub_chapters" -> doc.chapters.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }

@@ -52,9 +52,49 @@ class EpubSpec extends AnyFunSuite {
   }
 
   test("spine references resolve relative to the OPF directory") {
-    // writer puts chapters under OEBPS/ and hrefs are OPF-relative — the
-    // extract succeeding at all proves the join; also exercise ../ refs
     val bytes = EpubExtract.buildEpub("t", Seq(chapter(1)))
     assert(EpubExtract.extract(bytes).isRight)
+  }
+
+  test("chapter images: payloads resolve from the container, global img-K numbering") {
+    val pngA = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1)
+    val pngB = Array[Byte](0x89.toByte, 'P', 'N', 'G', 2)
+    def chWithImg(n: Int): String =
+      s"<html><body><h1>Ch $n</h1><p>Enough body words to keep this content paragraph " +
+        s"for the density classifier.</p><img src='images/pic$n.png' alt='p$n'/></body></html>"
+    val bytes = EpubExtract.buildEpub("Imgs", Seq(chWithImg(1), chWithImg(2)),
+      Seq("OEBPS/images/pic1.png" -> pngA, "OEBPS/images/pic2.png" -> pngB))
+    val doc = EpubExtract.extract(bytes).fold(e => fail(e), identity)
+    // GLOBAL numbering: chapter 2's image is img-1, not a second img-0
+    assert(doc.media.map(_.media_ref) == Seq("img-0.png", "img-1.png"))
+    assert(doc.media(0).content.sameElements(pngA) && doc.media(1).content.sameElements(pngB))
+    val imgSpans = doc.spans.filter(_.kind == "image")
+    assert(imgSpans.map(s => (s.text, s.media_ref)) ==
+      Seq(("img-0", "img-0.png"), ("img-1", "img-1.png")))
+    // every image span's media_ref has a sidecar item — no dangling refs
+    val refs = doc.media.map(_.media_ref).toSet
+    assert(imgSpans.forall(s => refs.contains(s.media_ref)))
+    // ingestion carries the sidecar
+    val out = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("b.epub", bytes))
+    assert(out.media.map(_.media_ref) == Seq("img-0.png", "img-1.png"))
+  }
+
+  test("../ hrefs in img src normalize against the chapter directory") {
+    val png = Array[Byte](1, 2, 3)
+    val ch = "<html><body><p>Enough body words to keep this paragraph for the " +
+      "density classifier scoring.</p><img src='../pics/x.png'/></body></html>"
+    // chapter lives at OEBPS/ch0.xhtml → ../pics/x.png = pics/x.png at root
+    val bytes = EpubExtract.buildEpub("t", Seq(ch), Seq("pics/x.png" -> png))
+    val doc = EpubExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.media.map(_.media_ref) == Seq("img-0.png"))
+    assert(doc.media.head.content.sameElements(png))
+    // an unresolvable (remote) src keeps a reference-only item (empty bytes)
+    val ch2 = "<html><body><p>Enough body words to keep this paragraph for the " +
+      "density classifier scoring.</p><img src='http://x/y.png'/></body></html>"
+    val doc2 = EpubExtract.extract(EpubExtract.buildEpub("t", Seq(ch2)))
+      .fold(e => fail(e), identity)
+    assert(doc2.media.map(_.media_ref) == Seq("img-0.png"))
+    assert(doc2.media.head.content.isEmpty)
   }
 }

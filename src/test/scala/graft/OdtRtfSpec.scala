@@ -73,6 +73,46 @@ class OdtRtfSpec extends AnyFunSuite {
     assert(doc.paragraphs == Seq("open group text"))
   }
 
+  test("rtf: field results flow, instructions skip; \\bin raw bytes don't desync groups") {
+    // hyperlink field: display text kept, HYPERLINK instruction dropped
+    val fld = "{\\rtf1 see {\\field{\\*\\fldinst HYPERLINK \"http://x\"}" +
+      "{\\fldrslt Click here}} now\\par}"
+    val d1 = RtfExtract.extract(fld.getBytes("ISO-8859-1")).fold(e => fail(e), identity)
+    assert(d1.paragraphs == Seq("see Click here now"))
+    // \binN payload containing '}' must not close the pict group early
+    val binPayload = Array[Byte]('}', '{', '}', 0)
+    val pre = "{\\rtf1 before {\\pict\\bin4 ".getBytes("ISO-8859-1")
+    val post = "} after\\par}".getBytes("ISO-8859-1")
+    val d2 = RtfExtract.extract(pre ++ binPayload ++ post).fold(e => fail(e), identity)
+    assert(d2.paragraphs == Seq("before after"))
+  }
+
+  test("rtf: trailing \\page emits its page_break span (page_count consistency)") {
+    val rtf = "{\\rtf1 Intro\\par\\page}"
+    val doc = RtfExtract.extract(rtf.getBytes("ISO-8859-1")).fold(e => fail(e), identity)
+    assert(doc.pageCount == 2)
+    val spans = RtfExtract.toSpans(doc)
+    assert(spans.count(_.kind == "page_break") == 2)
+    assert(spans.last.text == """{"next_page":2}""")
+  }
+
+  test("odt: heading text inside a table cell lands in the cell") {
+    val content = ("""<?xml version="1.0"?>
+      |<office:document-content xmlns:office="urn:o" xmlns:text="urn:t" xmlns:table="urn:tb">
+      |<office:body><office:text>
+      |<table:table><table:table-row>
+      |<table:table-cell><text:h text:outline-level="2">Quarterly Totals</text:h></table:table-cell>
+      |<table:table-cell><text:p>42</text:p></table:table-cell>
+      |</table:table-row></table:table>
+      |</office:text></office:body></office:document-content>""").stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    z.write(content.getBytes("UTF-8")); z.closeEntry(); z.close()
+    val doc = OdtExtract.extract(out.toByteArray).fold(e => fail(e), identity)
+    assert(doc.blocks == Seq(Table("|Quarterly Totals|42|\n|---|---|")))
+  }
+
   test("ingestion routes: .odt and .rtf extract through the pipeline") {
     val odt = OdtExtract.buildOdt("Routed Odt", Seq(Para("# H"), Para("body")))
     val o1 = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc("a/x.odt", odt))
