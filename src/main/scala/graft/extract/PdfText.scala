@@ -801,11 +801,18 @@ object PdfText {
     * extraction pipeline emits (one text span per paragraph, like the
     * reference converters' block output).
     */
-  def paragraphs(lines: Seq[Line]): Seq[String] = {
+  def paragraphs(lines: Seq[Line]): Seq[String] =
+    paragraphsWithMeta(lines).map(_._1)
+
+  /** (text, max line size, line count) per paragraph block. */
+  private def paragraphsWithMeta(lines: Seq[Line]): Seq[(String, Double, Int)] = {
     if (lines.isEmpty) return Nil
-    val out = ArrayBuffer[String]()
+    val out = ArrayBuffer[(String, Double, Int)]()
     val cur = new StringBuilder(lines.head.text)
+    var curSize = lines.head.size
+    var curLines = 1
     var prev = lines.head
+    def flush(): Unit = { out += ((cur.toString, curSize, curLines)) }
     lines.tail.foreach { l =>
       val step = prev.y - l.y
       val sizeJump = prev.size > 0 &&
@@ -813,16 +820,35 @@ object PdfText {
       val newPara = step > 1.8 * math.max(l.size, prev.size) || step < -2.0 ||
         sizeJump
       if (newPara) {
-        out += cur.toString
-        cur.clear()
-        cur ++= l.text
+        flush()
+        cur.clear(); cur ++= l.text; curSize = l.size; curLines = 1
       } else {
         cur += ' '
         cur ++= l.text
+        curSize = math.max(curSize, l.size)
+        curLines += 1
       }
       prev = l
     }
-    out += cur.toString
+    flush()
     out.toSeq
+  }
+
+  /** Paragraph blocks with markdown heading inference — the span-grammar
+    * shape the reference's converters emit: a short block (≤2 lines) whose
+    * font size clears the document's median body size by ≥75% becomes a
+    * `# ` heading, by ≥30% a `## ` heading. Size tiers are relative per
+    * DOCUMENT (pass the whole document's lines as `allLines`), so one
+    * oversized cover page cannot demote real body text.
+    */
+  def markdownBlocks(lines: Seq[Line], allLines: Seq[Line]): Seq[String] = {
+    val paras = paragraphsWithMeta(lines)
+    val sizes = allLines.map(_.size).filter(_ > 0).sorted
+    val body = if (sizes.isEmpty) 0.0 else sizes(sizes.length / 2)
+    paras.map { case (text, size, n) =>
+      if (n <= 2 && body > 0 && size >= 1.75 * body) "# " + text
+      else if (n <= 2 && body > 0 && size >= 1.3 * body) "## " + text
+      else text
+    }
   }
 }

@@ -172,10 +172,11 @@ object Pipeline {
         }
         val spans = {
           val out = scala.collection.mutable.ArrayBuffer[Span]()
+          val allLines = pages.flatMap(_.lines) // document-wide body-size basis
           (1 to info.pageCount).foreach { i =>
             out += Span(graft.model.SpanKind.PageBreak, s"""{"next_page":$i}""", "", out.length)
             pages.lift(i - 1).foreach { p =>
-              graft.extract.PdfText.paragraphs(p.lines)
+              graft.extract.PdfText.markdownBlocks(p.lines, allLines)
                 .map(_.trim).filter(_.nonEmpty).foreach { para =>
                   out += Span(graft.model.SpanKind.Text, para, "", out.length)
                 }

@@ -117,6 +117,26 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == Seq("Heading", "body one body two", "new para"))
   }
 
+  test("markdownBlocks: heading inference by size tier over the document median") {
+    import PdfText.Line
+    val lines = Seq(
+      Line(72, 740, 400, 24, "Big Title"),       // 2.0x body → #
+      Line(72, 700, 400, 16, "Sub heading"),     // 1.33x body → ##
+      Line(72, 670, 400, 12, "body line one"),
+      Line(72, 655, 400, 12, "body line two"),
+      Line(72, 640, 400, 12, "body line three"))
+    val got = PdfText.markdownBlocks(lines, lines)
+    assert(got == Seq("# Big Title", "## Sub heading",
+      "body line one body line two body line three"))
+    // the REAL fixture: the 28pt title becomes a # heading on ingestion
+    val f = new java.io.File(s"$resources/pdf_sample.pdf")
+    assume(f.exists(), "reference fixtures not present")
+    val out = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("pdf_sample.pdf", read(f.getPath)))
+    assert(out.spans.exists(_.text == "# Lorem ipsum"))
+    assert(out.spans.exists(_.text.startsWith("## Lorem ipsum dolor sit amet")))
+  }
+
   test("REAL fixture image sidecar: the DCT XObject extracts as the JPEG byte-for-byte") {
     val f = new java.io.File(s"$resources/pdf_sample.pdf")
     assume(f.exists(), "reference fixtures not present")
