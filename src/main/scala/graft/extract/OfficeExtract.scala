@@ -14,7 +14,8 @@ import scala.collection.mutable.ArrayBuffer
   * PPTX: one page per slide (`ppt/slides/slideN.xml` in numeric order),
   * title-placeholder shapes (`p:ph type="title"/"ctrTitle"`) become `# `
   * headings, other text-body paragraphs become plain blocks, `a:tbl`
-  * tables become pipe tables.
+  * tables become pipe tables, and `a:blip` picture payloads lift from
+  * ppt/media through each slide's rels as img-K media items.
   *
   * XLSX: one page per sheet (workbook order, names from
   * `xl/workbook.xml`), each sheet a `## name` heading plus a pipe table of
@@ -22,16 +23,19 @@ import scala.collection.mutable.ArrayBuffer
   * and literal values resolve; cell references (`r="B3"`) position sparse
   * cells correctly.
   *
-  * Out of scope (documented): embedded media, charts, formulas (the cached
-  * value is used), merged-cell spans. Malformed input is a Left — a
-  * failure row in lineage. O(bytes) per document.
+  * Out of scope (documented): charts, formulas (the cached value is
+  * used), merged-cell spans, XLSX cell images. Malformed input is a Left
+  * — a failure row in lineage. O(bytes) per document.
   */
 object OfficeExtract {
 
   import DocxExtract.{readZip, reader, attr, coreTitle, collapseWs, tableMd, parseRels}
 
-  final case class Slide(title: String, blocks: Seq[String])
-  final case class PptxDoc(title: String, slides: Seq[Slide])
+  /** `imageRefs` = canonical img-K media refs drawn on this slide. */
+  final case class Slide(title: String, blocks: Seq[String],
+      imageRefs: Seq[String] = Nil)
+  final case class PptxDoc(title: String, slides: Seq[Slide],
+      media: Seq[graft.model.MediaItem] = Nil)
   final case class Sheet(name: String, tableMd: String)
   final case class XlsxDoc(title: String, sheets: Seq[Sheet])
 
@@ -45,14 +49,49 @@ object OfficeExtract {
         .toSeq.sortBy(_._1)
       if (slideKeys.isEmpty) throw new IllegalStateException("no ppt/slides/slideN.xml")
       val title = entries.get("docProps/core.xml").map(coreTitle).getOrElse("")
-      Right(PptxDoc(title, slideKeys.map { case (_, k) => parseSlide(entries(k)) }))
+      // slide media: a:blip r:embed → the slide's OWN rels part → ppt/media
+      // payload, canonical img-K in encounter order across the deck
+      val media = ArrayBuffer[graft.model.MediaItem]()
+      val byKey = scala.collection.mutable.Map[String, String]() // (slide,rid) → ref
+      val slides = slideKeys.map { case (_, k) =>
+        val rels = entries.get(s"ppt/slides/_rels/${k.substring(k.lastIndexOf('/') + 1)}.rels")
+          .map(parseRels).getOrElse(Map.empty)
+        def resolvePic(rid: String): Option[String] =
+          byKey.get(s"$k/$rid").orElse(rels.get(rid).flatMap { target =>
+            val path = normalizePath(
+              if (target.startsWith("/")) target.drop(1) else "ppt/slides/" + target)
+            entries.get(path).map { data =>
+              val ext = {
+                val i = path.lastIndexOf('.')
+                if (i >= 0) path.substring(i + 1).toLowerCase else "bin"
+              }
+              val filename = s"img-${media.length}.$ext"
+              media += graft.model.MediaItem(filename,
+                graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream"), data)
+              byKey(s"$k/$rid") = filename
+              filename
+            }
+          })
+        parseSlide(entries(k), resolvePic)
+      }
+      Right(PptxDoc(title, slides, media.toSeq))
     } catch {
       case e: Exception => Left(s"pptx_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
-  private def parseSlide(xml: Array[Byte]): Slide = {
+  private def normalizePath(path: String): String =
+    path.split('/').foldLeft(List.empty[String]) {
+      case (acc, "..") => if (acc.nonEmpty) acc.init else acc
+      case (acc, ".") => acc
+      case (acc, seg) => acc :+ seg
+    }.mkString("/")
+
+  private def parseSlide(
+      xml: Array[Byte],
+      resolvePic: String => Option[String] = _ => None): Slide = {
     val r = reader(xml)
     val blocks = ArrayBuffer[String]()
+    val imageRefs = ArrayBuffer[String]()
     var slideTitle = ""
     var inShape = false
     var isTitleShape = false
@@ -86,6 +125,9 @@ object OfficeExtract {
               case "tr" if inTbl => rows += ArrayBuffer()
               case "tc" if inTbl => inCell = true; cell = new StringBuilder
               case "p" => inPara = true; pText.clear()
+              case "blip" =>
+                val rid = attr(r, "embed") // r:embed's local name
+                if (rid.nonEmpty) resolvePic(rid).foreach(imageRefs += _)
               case "t" =>
                 val txt = r.getElementText
                 if (inCell) { if (cell.nonEmpty) cell += ' '; cell ++= txt }
@@ -113,11 +155,11 @@ object OfficeExtract {
         }
       }
     } finally r.close()
-    Slide(slideTitle, blocks.toSeq)
+    Slide(slideTitle, blocks.toSeq, imageRefs.toSeq)
   }
 
-  /** Slides → spans: a page_break per slide, `# title` heading, then one
-    * text span per block.
+  /** Slides → spans: a page_break per slide, `# title` heading, text
+    * blocks, then the slide's image spans.
     */
   def pptxSpans(doc: PptxDoc): Seq[graft.model.Span] = {
     import graft.model.{Span, SpanKind}
@@ -127,6 +169,10 @@ object OfficeExtract {
       if (slide.title.nonEmpty)
         out += Span(SpanKind.Text, "# " + slide.title, "", out.length)
       slide.blocks.foreach(b => out += Span(SpanKind.Text, b, "", out.length))
+      slide.imageRefs.foreach { ref =>
+        val id = ref.substring(0, ref.lastIndexOf('.'))
+        out += Span(SpanKind.Image, id, ref, out.length)
+      }
     }
     out.toSeq
   }
@@ -263,17 +309,19 @@ object OfficeExtract {
   }
 
   // ------------------------------------------------------------ writers
-  private def zipOf(parts: Seq[(String, String)]): Array[Byte] = {
+  private def zipOf(parts: Seq[(String, String)],
+      binParts: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val zout = new java.util.zip.ZipOutputStream(out)
     try {
-      parts.foreach { case (name, content) =>
-        val e = new java.util.zip.ZipEntry(name)
-        e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
-        zout.putNextEntry(e)
-        zout.write(content.getBytes(StandardCharsets.UTF_8))
-        zout.closeEntry()
-      }
+      (parts.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ binParts)
+        .foreach { case (name, content) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
+          zout.putNextEntry(e)
+          zout.write(content)
+          zout.closeEntry()
+        }
     } finally zout.close()
     out.toByteArray
   }
@@ -286,11 +334,20 @@ object OfficeExtract {
     case c => c.toString
   }
 
-  /** Deterministic PPTX writer — the encode side of the q_pptx round-trip. */
-  def buildPptx(title: String, slides: Seq[Slide]): Array[Byte] = {
+  /** Deterministic PPTX writer — the encode side of the q_pptx round-trip.
+    * `media(k)` = (ext, payload) for the k-th image across the deck in
+    * slide order (each slide's `imageRefs` size = its image count).
+    */
+  def buildPptx(title: String, slides: Seq[Slide]): Array[Byte] =
+    buildPptx(title, slides, Nil)
+
+  def buildPptx(title: String, slides: Seq[Slide],
+      media: Seq[(String, Array[Byte])]): Array[Byte] = {
     val A = "http://schemas.openxmlformats.org/drawingml/2006/main"
     val P = "http://schemas.openxmlformats.org/presentationml/2006/main"
-    def slideXml(s: Slide): String = {
+    val R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    var mediaAt = 0
+    def slideXml(s: Slide): (String, String) = {
       val titleSp = if (s.title.nonEmpty)
         s"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr><p:txBody><a:p><a:r><a:t>${esc(s.title)}</a:t></a:r></a:p></p:txBody></p:sp>"""
       else ""
@@ -299,8 +356,21 @@ object OfficeExtract {
       val bodySp = if (s.blocks.nonEmpty)
         s"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr><p:txBody>$bodyParas</p:txBody></p:sp>"""
       else ""
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<p:sld xmlns:p="$P" xmlns:a="$A"><p:cSld><p:spTree>$titleSp$bodySp</p:spTree></p:cSld></p:sld>""".stripMargin
+      val picIdx = s.imageRefs.indices.map(_ + mediaAt)
+      mediaAt += s.imageRefs.size
+      val pics = picIdx.map(k =>
+        s"""<p:pic><p:blipFill><a:blip r:embed="rIdImg$k"/></p:blipFill></p:pic>""").mkString
+      val relsXml =
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">${
+          picIdx.map { k =>
+            val (ext, _) = media(k)
+            s"""<Relationship Id="rIdImg$k" Type="$R/image" Target="../media/image$k.$ext"/>"""
+          }.mkString
+        }</Relationships>""".stripMargin
+      (s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<p:sld xmlns:p="$P" xmlns:a="$A" xmlns:r="$R"><p:cSld><p:spTree>$titleSp$bodySp$pics</p:spTree></p:cSld></p:sld>""".stripMargin,
+        relsXml)
     }
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -314,12 +384,19 @@ object OfficeExtract {
     val core =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/"><dc:title>${esc(title)}</dc:title></cp:coreProperties>""".stripMargin
+    val slideParts = slides.zipWithIndex.flatMap { case (s, i) =>
+      val (xml, relsXml) = slideXml(s)
+      Seq(s"ppt/slides/slide${i + 1}.xml" -> xml) ++
+        (if (s.imageRefs.nonEmpty)
+          Seq(s"ppt/slides/_rels/slide${i + 1}.xml.rels" -> relsXml)
+        else Nil)
+    }
     zipOf(Seq(
       "[Content_Types].xml" -> contentTypes,
       "_rels/.rels" -> rels,
       "ppt/presentation.xml" -> presentation,
-      "docProps/core.xml" -> core) ++
-      slides.zipWithIndex.map { case (s, i) => s"ppt/slides/slide${i + 1}.xml" -> slideXml(s) })
+      "docProps/core.xml" -> core) ++ slideParts,
+      media.zipWithIndex.map { case ((ext, data), k) => s"ppt/media/image$k.$ext" -> data })
   }
 
   /** Deterministic XLSX writer (inline strings — no sharedStrings

@@ -239,7 +239,7 @@ object Pipeline {
         val spans = graft.extract.OfficeExtract.pptxSpans(doc)
         ExtractOut(r.doc_id, spans, r.mime_type, doc.slides.size, "",
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
-          source_path = r.source_path, media = Nil,
+          source_path = r.source_path, media = doc.media,
           metadata = Map("pptx_slides" -> doc.slides.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }

@@ -39,6 +39,27 @@ class OfficeSpec extends AnyFunSuite {
     assert(doc.slides.map(_.title) == (1 to 11).map(i => s"S$i"))
   }
 
+  test("pptx slide media: blip→slide rels→ppt/media payloads lift as img-K") {
+    val jpgA = Array[Byte](0xff.toByte, 0xd8.toByte, 1)
+    val pngB = Array[Byte](0x89.toByte, 'P', 2)
+    val slides = Seq(
+      Slide("One", Seq("text a"), Seq("img-0.jpeg")),
+      Slide("Two", Seq("text b"), Seq("img-1.png")))
+    val bytes = OfficeExtract.buildPptx("Deck", slides,
+      Seq(("jpeg", jpgA), ("png", pngB)))
+    val doc = OfficeExtract.extractPptx(bytes).fold(e => fail(e), identity)
+    assert(doc.slides.map(_.imageRefs) == Seq(Seq("img-0.jpeg"), Seq("img-1.png")))
+    assert(doc.media.map(m => (m.media_ref, m.mime_type)) ==
+      Seq(("img-0.jpeg", "image/jpeg"), ("img-1.png", "image/png")))
+    assert(doc.media(0).content.sameElements(jpgA) && doc.media(1).content.sameElements(pngB))
+    // ingestion: image spans on their slides + sidecar items
+    val out = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("d.pptx", bytes))
+    assert(out.media.map(_.media_ref) == Seq("img-0.jpeg", "img-1.png"))
+    assert(out.spans.filter(_.kind == "image").map(_.media_ref) ==
+      Seq("img-0.jpeg", "img-1.png"))
+  }
+
   test("xlsx round-trip: sheet names, numeric + inline-string cells") {
     val sheets = Seq(
       ("Alpha", Seq(Seq("H1", "H2"), Seq("text val", "42"), Seq("x", "y"))),
