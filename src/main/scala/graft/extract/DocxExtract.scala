@@ -52,21 +52,14 @@ object DocxExtract {
       // Image payload shape)
       val rels = entries.get("word/_rels/document.xml.rels")
         .map(parseRels).getOrElse(Map.empty)
-      val media = mutable.ArrayBuffer[graft.model.MediaItem]()
-      val byRid = mutable.Map[String, String]()
+      val media = new MediaCollector
       def resolvePic(rid: String): Option[String] =
-        byRid.get(rid).orElse(rels.get(rid).flatMap { target =>
-          val path = if (target.startsWith("/")) target.drop(1) else "word/" + target
-          entries.get(path).map { data =>
-            val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
-            val filename = s"img-${media.length}.$ext"
-            media += graft.model.MediaItem(filename,
-              graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream"), data)
-            byRid(rid) = filename
-            filename
-          }
-        })
-      Right(DocxDoc(title, parseDocument(docXml, resolvePic), media.toSeq))
+        rels.get(rid).flatMap { target =>
+          val path = normalizePath(
+            if (target.startsWith("/")) target.drop(1) else "word/" + target)
+          media.add(path, path, entries.get(path))
+        }
+      Right(DocxDoc(title, parseDocument(docXml, resolvePic), media.items))
     } catch {
       case e: Exception => Left(s"docx_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
@@ -103,6 +96,60 @@ object DocxExtract {
         out += Span(SpanKind.Image, id, ref, out.length)
     }
     out.toSeq
+  }
+
+  // ------------------------------------------------------------ shared utils
+  /** `..`/`.` segment folding for container-relative hrefs (OPC rels,
+    * EPUB spine/img, ODT Pictures) — ONE implementation for every
+    * extractor.
+    */
+  private[extract] def normalizePath(path: String): String =
+    path.split('/').foldLeft(List.empty[String]) {
+      case (acc, "..") => if (acc.nonEmpty) acc.init else acc
+      case (acc, ".") => acc
+      case (acc, seg) => acc :+ seg
+    }.mkString("/")
+
+  /** Canonical img-K media accumulation shared by the DOCX/PPTX/ODT/EPUB
+    * lifters: caches by an extractor-chosen key (rid, path, …) so repeated
+    * references reuse ONE item, names by encounter order, and maps the
+    * extension through the MIME registry.
+    */
+  private[extract] final class MediaCollector {
+    private val buf = ArrayBuffer[graft.model.MediaItem]()
+    private val byKey = mutable.Map[String, String]()
+    def items: Seq[graft.model.MediaItem] = buf.toSeq
+    def size: Int = buf.length
+    def add(cacheKey: String, path: String, data: => Option[Array[Byte]]): Option[String] =
+      byKey.get(cacheKey).orElse(data.map { d =>
+        val ext = {
+          val i = path.lastIndexOf('.')
+          if (i >= 0) path.substring(i + 1).toLowerCase else "bin"
+        }
+        val filename = s"img-${buf.length}.$ext"
+        buf += graft.model.MediaItem(filename,
+          graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream"), d)
+        byKey(cacheKey) = filename
+        filename
+      })
+  }
+
+  /** Deterministic ZIP assembly (fixed timestamps) — the one writer loop
+    * behind every container builder.
+    */
+  private[extract] def writeZip(parts: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(out)
+    try {
+      parts.foreach { case (name, content) =>
+        val e = new java.util.zip.ZipEntry(name)
+        e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
+        zout.putNextEntry(e)
+        zout.write(content)
+        zout.closeEntry()
+      }
+    } finally zout.close()
+    out.toByteArray
   }
 
   // ------------------------------------------------------------ zip
@@ -353,27 +400,15 @@ object DocxExtract {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/package/2006/relationships/metadata/core-properties" Target="docProps/core.xml"/></Relationships>""".stripMargin
 
-    val out = new java.io.ByteArrayOutputStream()
-    val zout = new java.util.zip.ZipOutputStream(out)
-    try {
-      val textParts = Seq(
-        "[Content_Types].xml" -> contentTypes,
-        "_rels/.rels" -> rels,
-        "word/document.xml" -> documentXml,
-        "docProps/core.xml" -> coreXml) ++
-        (if (media.nonEmpty) Seq("word/_rels/document.xml.rels" -> docRels) else Nil)
-      val binParts = media.zipWithIndex.map { case ((ext, data), k) =>
-        s"word/media/image$k.$ext" -> data
-      }
-      (textParts.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ binParts)
-        .foreach { case (name, content) =>
-          val e = new java.util.zip.ZipEntry(name)
-          e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
-          zout.putNextEntry(e)
-          zout.write(content)
-          zout.closeEntry()
-        }
-    } finally zout.close()
-    out.toByteArray
+    val textParts = Seq(
+      "[Content_Types].xml" -> contentTypes,
+      "_rels/.rels" -> rels,
+      "word/document.xml" -> documentXml,
+      "docProps/core.xml" -> coreXml) ++
+      (if (media.nonEmpty) Seq("word/_rels/document.xml.rels" -> docRels) else Nil)
+    val binParts = media.zipWithIndex.map { case ((ext, data), k) =>
+      s"word/media/image$k.$ext" -> data
+    }
+    writeZip(textParts.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ binParts)
   }
 }

@@ -21,7 +21,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object EpubExtract {
 
-  import DocxExtract.{readZip, reader, attr}
+  import DocxExtract.{readZip, reader, attr, writeZip, normalizePath}
 
   /** `spans` carry GLOBAL img-K numbering (chapter-local ids are rewritten
     * in encounter order across the whole book); `media` has one item per
@@ -51,7 +51,7 @@ object EpubExtract {
       val (title, manifest, spine) = parseOpf(opf)
       val chapterPairs: Seq[(String, HtmlExtract.Extracted)] =
         spine.flatMap(manifest.get).flatMap { href =>
-          val path = normalize(opfDir + href)
+          val path = normalizePath(opfDir + href)
           entries.get(path).map { xhtml =>
             path -> HtmlExtract.extract(new String(xhtml, StandardCharsets.UTF_8))
           }
@@ -73,7 +73,7 @@ object EpubExtract {
           im.filename -> global
         }.toMap
         ch.images.zip(ch.imageSrcs).foreach { case (im, src) =>
-          val payload = entries.getOrElse(normalize(chapterDir + src), Array.emptyByteArray)
+          val payload = entries.getOrElse(normalizePath(chapterDir + src), Array.emptyByteArray)
           media += MediaItem(rename(im.filename), im.mime_type, payload)
         }
         spans += Span(SpanKind.PageBreak, s"""{"next_page":${i + 1}}""", "", spans.length)
@@ -92,13 +92,6 @@ object EpubExtract {
 
   /** The globally-renumbered span stream (built in [[extract]]). */
   def toSpans(doc: EpubDoc): Seq[graft.model.Span] = doc.spans
-
-  private def normalize(path: String): String =
-    path.split('/').foldLeft(List.empty[String]) {
-      case (acc, "..") => if (acc.nonEmpty) acc.init else acc
-      case (acc, ".") => acc
-      case (acc, seg) => acc :+ seg
-    }.mkString("/")
 
   private def rootfileOf(xml: Array[Byte]): String = {
     val r = reader(xml)
@@ -166,23 +159,11 @@ object EpubExtract {
       }</manifest><spine>${
         chapters.indices.map(i => s"""<itemref idref="ch$i"/>""").mkString
       }</spine></package>""".stripMargin
-    val out = new java.io.ByteArrayOutputStream()
-    val zout = new java.util.zip.ZipOutputStream(out)
-    try {
-      ((Seq(
-        "mimetype" -> "application/epub+zip",
-        "META-INF/container.xml" -> container,
-        "OEBPS/content.opf" -> opf) ++
-        chapters.zipWithIndex.map { case (html, i) => s"OEBPS/ch$i.xhtml" -> html })
-        .map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ extraEntries)
-        .foreach { case (name, content) =>
-          val e = new java.util.zip.ZipEntry(name)
-          e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
-          zout.putNextEntry(e)
-          zout.write(content)
-          zout.closeEntry()
-        }
-    } finally zout.close()
-    out.toByteArray
+    writeZip((Seq(
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf) ++
+      chapters.zipWithIndex.map { case (html, i) => s"OEBPS/ch$i.xhtml" -> html })
+      .map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ extraEntries)
   }
 }

@@ -18,7 +18,8 @@ import scala.collection.mutable.ArrayBuffer
   */
 object OdtExtract {
 
-  import DocxExtract.{readZip, reader, attr, collapseWs, tableMd}
+  import DocxExtract.{readZip, reader, attr, collapseWs, tableMd, writeZip,
+    normalizePath, MediaCollector}
   import DocxExtract.{Block, Para, Table, Pic, PageBreak}
 
   final case class OdtDoc(
@@ -34,21 +35,12 @@ object OdtExtract {
       val content = entries.getOrElse("content.xml",
         throw new IllegalStateException("no content.xml"))
       val title = entries.get("meta.xml").map(metaTitle).getOrElse("")
-      val media = ArrayBuffer[graft.model.MediaItem]()
-      val byHref = mutable.Map[String, String]()
-      def resolvePic(href: String): Option[String] =
-        byHref.get(href).orElse(entries.get(href).map { data =>
-          val ext = {
-            val i = href.lastIndexOf('.')
-            if (i >= 0) href.substring(i + 1).toLowerCase else "bin"
-          }
-          val filename = s"img-${media.length}.$ext"
-          media += graft.model.MediaItem(filename,
-            graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream"), data)
-          byHref(href) = filename
-          filename
-        })
-      Right(OdtDoc(title, parseContent(content, resolvePic), media.toSeq))
+      val media = new MediaCollector
+      def resolvePic(href: String): Option[String] = {
+        val path = normalizePath(href)
+        media.add(path, path, entries.get(path))
+      }
+      Right(OdtDoc(title, parseContent(content, resolvePic), media.items))
     } catch {
       case e: Exception => Left(s"odt_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
@@ -214,22 +206,10 @@ object OdtExtract {
     val metaXml =
       s"""<?xml version="1.0" encoding="UTF-8"?>
          |<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:dc="http://purl.org/dc/elements/1.1/"><office:meta><dc:title>${esc(title)}</dc:title></office:meta></office:document-meta>""".stripMargin
-    val out = new java.io.ByteArrayOutputStream()
-    val zout = new java.util.zip.ZipOutputStream(out)
-    try {
-      val parts: Seq[(String, Array[Byte])] = Seq(
-        "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes("UTF-8"),
-        "content.xml" -> contentXml.getBytes("UTF-8"),
-        "meta.xml" -> metaXml.getBytes("UTF-8")) ++
-        media.zipWithIndex.map { case ((ext, data), k) => s"Pictures/image$k.$ext" -> data }
-      parts.foreach { case (name, content) =>
-        val e = new java.util.zip.ZipEntry(name)
-        e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
-        zout.putNextEntry(e)
-        zout.write(content)
-        zout.closeEntry()
-      }
-    } finally zout.close()
-    out.toByteArray
+    writeZip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes("UTF-8"),
+      "content.xml" -> contentXml.getBytes("UTF-8"),
+      "meta.xml" -> metaXml.getBytes("UTF-8")) ++
+      media.zipWithIndex.map { case ((ext, data), k) => s"Pictures/image$k.$ext" -> data })
   }
 }

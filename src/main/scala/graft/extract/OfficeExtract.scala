@@ -29,7 +29,8 @@ import scala.collection.mutable.ArrayBuffer
   */
 object OfficeExtract {
 
-  import DocxExtract.{readZip, reader, attr, coreTitle, collapseWs, tableMd, parseRels}
+  import DocxExtract.{readZip, reader, attr, coreTitle, collapseWs, tableMd, parseRels,
+    normalizePath, MediaCollector}
 
   /** `imageRefs` = canonical img-K media refs drawn on this slide. */
   final case class Slide(title: String, blocks: Seq[String],
@@ -50,41 +51,24 @@ object OfficeExtract {
       if (slideKeys.isEmpty) throw new IllegalStateException("no ppt/slides/slideN.xml")
       val title = entries.get("docProps/core.xml").map(coreTitle).getOrElse("")
       // slide media: a:blip r:embed → the slide's OWN rels part → ppt/media
-      // payload, canonical img-K in encounter order across the deck
-      val media = ArrayBuffer[graft.model.MediaItem]()
-      val byKey = scala.collection.mutable.Map[String, String]() // (slide,rid) → ref
+      // payload, canonical img-K by encounter order, deduped DECK-WIDE by
+      // resolved target path (a logo on 30 slides = ONE item)
+      val media = new MediaCollector
       val slides = slideKeys.map { case (_, k) =>
         val rels = entries.get(s"ppt/slides/_rels/${k.substring(k.lastIndexOf('/') + 1)}.rels")
           .map(parseRels).getOrElse(Map.empty)
         def resolvePic(rid: String): Option[String] =
-          byKey.get(s"$k/$rid").orElse(rels.get(rid).flatMap { target =>
+          rels.get(rid).flatMap { target =>
             val path = normalizePath(
               if (target.startsWith("/")) target.drop(1) else "ppt/slides/" + target)
-            entries.get(path).map { data =>
-              val ext = {
-                val i = path.lastIndexOf('.')
-                if (i >= 0) path.substring(i + 1).toLowerCase else "bin"
-              }
-              val filename = s"img-${media.length}.$ext"
-              media += graft.model.MediaItem(filename,
-                graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream"), data)
-              byKey(s"$k/$rid") = filename
-              filename
-            }
-          })
+            media.add(path, path, entries.get(path))
+          }
         parseSlide(entries(k), resolvePic)
       }
-      Right(PptxDoc(title, slides, media.toSeq))
+      Right(PptxDoc(title, slides, media.items))
     } catch {
       case e: Exception => Left(s"pptx_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
-
-  private def normalizePath(path: String): String =
-    path.split('/').foldLeft(List.empty[String]) {
-      case (acc, "..") => if (acc.nonEmpty) acc.init else acc
-      case (acc, ".") => acc
-      case (acc, seg) => acc :+ seg
-    }.mkString("/")
 
   private def parseSlide(
       xml: Array[Byte],
@@ -95,6 +79,7 @@ object OfficeExtract {
     var slideTitle = ""
     var inShape = false
     var isTitleShape = false
+    var picDepth = 0 // only p:pic blips are CONTENT; bg/cell fills are not
     var inPara = false
     val pText = new StringBuilder
     val shapeParas = ArrayBuffer[String]()
@@ -125,7 +110,10 @@ object OfficeExtract {
               case "tr" if inTbl => rows += ArrayBuffer()
               case "tc" if inTbl => inCell = true; cell = new StringBuilder
               case "p" => inPara = true; pText.clear()
-              case "blip" =>
+              case "pic" => picDepth += 1
+              case "blip" if picDepth > 0 && !inTbl =>
+                // gate on p:pic ancestry: slide-background and table-cell
+                // FILL blips are decoration, not content (DOCX/HTML parity)
                 val rid = attr(r, "embed") // r:embed's local name
                 if (rid.nonEmpty) resolvePic(rid).foreach(imageRefs += _)
               case "t" =>
@@ -148,6 +136,7 @@ object OfficeExtract {
               case "tbl" if inTbl =>
                 inTbl = false
                 if (rows.nonEmpty) blocks += tableMd(rows.map(_.toSeq).toSeq)
+              case "pic" if picDepth > 0 => picDepth -= 1
               case "sp" if inShape => flushShape()
               case _ => ()
             }
@@ -310,21 +299,9 @@ object OfficeExtract {
 
   // ------------------------------------------------------------ writers
   private def zipOf(parts: Seq[(String, String)],
-      binParts: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val zout = new java.util.zip.ZipOutputStream(out)
-    try {
-      (parts.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ binParts)
-        .foreach { case (name, content) =>
-          val e = new java.util.zip.ZipEntry(name)
-          e.setTime(1577836800000L) // fixed timestamp: deterministic bytes
-          zout.putNextEntry(e)
-          zout.write(content)
-          zout.closeEntry()
-        }
-    } finally zout.close()
-    out.toByteArray
-  }
+      binParts: Seq[(String, Array[Byte])] = Nil): Array[Byte] =
+    DocxExtract.writeZip(
+      parts.map { case (n, c) => n -> c.getBytes(StandardCharsets.UTF_8) } ++ binParts)
 
   private def esc(s: String): String = s.flatMap {
     case '&' => "&amp;"
@@ -372,9 +349,14 @@ object OfficeExtract {
          |<p:sld xmlns:p="$P" xmlns:a="$A" xmlns:r="$R"><p:cSld><p:spTree>$titleSp$bodySp$pics</p:spTree></p:cSld></p:sld>""".stripMargin,
         relsXml)
     }
+    // OPC: every media extension needs a declared content type
+    val mediaDefaults = media.map(_._1).distinct.map { ext =>
+      val mime = graft.ops.DocOps.ExtToMime.getOrElse(ext, "application/octet-stream")
+      s"""<Default Extension="$ext" ContentType="$mime"/>"""
+    }.mkString
     val contentTypes =
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/></Types>""".stripMargin
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>$mediaDefaults</Types>""".stripMargin
     val rels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/></Relationships>""".stripMargin

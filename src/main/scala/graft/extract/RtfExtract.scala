@@ -18,7 +18,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object RtfExtract {
 
-  final case class RtfDoc(title: String, paragraphs: Seq[String], pageBreaks: Set[Int]) {
+  /** `pageBreaks` = paragraph indices each \page precedes, WITH
+    * multiplicity (consecutive \page controls are blank pages).
+    */
+  final case class RtfDoc(title: String, paragraphs: Seq[String], pageBreaks: Seq[Int]) {
     def pageCount: Int = 1 + pageBreaks.size
   }
 
@@ -37,7 +40,7 @@ object RtfExtract {
       if (s.length < 5 || !(s(0) == '{' && s(1) == '\\' && s(2) == 'r' && s(3) == 't' && s(4) == 'f'))
         return Left("rtf_parse_error: not an RTF document (missing {\\rtf header)")
       val paragraphs = ArrayBuffer[String]()
-      val pageBreaks = scala.collection.mutable.Set[Int]()
+      val pageBreaks = ArrayBuffer[Int]()
       val cur = new StringBuilder
       var title = ""
 
@@ -83,7 +86,10 @@ object RtfExtract {
               if (pendingUcSkip > 0) pendingUcSkip -= 1
               else if (inInfoTitle) titleBuf += c
               else if (!skipping) cur += c
-            case '~' => i += 1; if (!skipping) cur += ' ' // nbsp
+            case '~' =>
+              i += 1
+              if (pendingUcSkip > 0) pendingUcSkip -= 1 // consumed as \u fallback
+              else if (!skipping) cur += ' ' // nbsp
             case '-' | '_' => i += 1 // optional/nb hyphen markers
             case '*' =>
               // \* prefixes an ignorable destination: skip this group
@@ -104,10 +110,21 @@ object RtfExtract {
         }
         val numStr = new String(s, ns, i - ns, "ISO-8859-1")
         if (i < s.length && s(i) == ' ') i += 1 // delimiter space is consumed
-        val num = if (numStr.nonEmpty) numStr.toInt else Int.MinValue
+        // malformed/overflowing parameters ('-' alone, \bin2147483648) must
+        // degrade to no-parameter, not kill the document
+        val num =
+          try {
+            if (numStr.isEmpty || numStr == "-") Int.MinValue
+            else math.max(Int.MinValue + 1L,
+              math.min(Int.MaxValue.toLong, numStr.toLong)).toInt
+          } catch { case _: NumberFormatException => Int.MinValue }
 
-        if (pendingUcSkip > 0 && word != "u")
-          pendingUcSkip = 0 // a control word ends a pending uc skip run
+        if (pendingUcSkip > 0 && word != "u") {
+          // the \ucN fallback may BE a control word (\uc1\u9\tab): it
+          // counts as one skippable item and must be consumed, not executed
+          pendingUcSkip -= 1
+          return
+        }
         handleWord(word, num)
       }
 
@@ -117,8 +134,10 @@ object RtfExtract {
         case "tab" if !skipping => cur += ' '
         case "bin" =>
           // \binN: the next N bytes are RAW binary (may contain { } \) —
-          // skip them wholesale or group tracking desynchronizes
-          if (num != Int.MinValue && num > 0) i = math.min(s.length, i + num)
+          // skip them wholesale or group tracking desynchronizes; Long
+          // arithmetic: a huge N must clamp, not overflow negative
+          if (num != Int.MinValue && num > 0)
+            i = math.min(s.length.toLong, i.toLong + num).toInt
         case "uc" => ucStack(ucStack.length - 1) = math.max(0, num)
         case "u" =>
           if (!skipping || inInfoTitle) {
@@ -158,7 +177,7 @@ object RtfExtract {
       flush()
       if (title.isEmpty && titleBuf.nonEmpty)
         title = DocxExtract.collapseWs(titleBuf.toString)
-      Right(RtfDoc(title, paragraphs.toSeq, pageBreaks.toSet))
+      Right(RtfDoc(title, paragraphs.toSeq, pageBreaks.toSeq))
     } catch {
       case e: Exception => Left(s"rtf_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
@@ -168,19 +187,20 @@ object RtfExtract {
     val out = ArrayBuffer[Span]()
     var page = 1
     out += Span(SpanKind.PageBreak, s"""{"next_page":$page}""", "", 0)
-    doc.paragraphs.zipWithIndex.foreach { case (p, idx) =>
-      if (doc.pageBreaks.contains(idx)) {
+    val breaksAt: Map[Int, Int] =
+      doc.pageBreaks.groupBy(identity).view.mapValues(_.size).toMap
+    def emitBreaks(idx: Int): Unit =
+      (0 until breaksAt.getOrElse(idx, 0)).foreach { _ =>
         page += 1
         out += Span(SpanKind.PageBreak, s"""{"next_page":$page}""", "", out.length)
       }
+    doc.paragraphs.zipWithIndex.foreach { case (p, idx) =>
+      emitBreaks(idx)
       out += Span(SpanKind.Text, p, "", out.length)
     }
-    // a TRAILING \page (no paragraph after it) still opens a page: emit
-    // its marker so page_count == span-derived pages
-    if (doc.pageBreaks.contains(doc.paragraphs.length)) {
-      page += 1
-      out += Span(SpanKind.PageBreak, s"""{"next_page":$page}""", "", out.length)
-    }
+    // TRAILING \page markers (no paragraph after them) still open pages:
+    // emit them so page_count == span-derived pages
+    emitBreaks(doc.paragraphs.length)
     out.toSeq
   }
 
@@ -194,7 +214,10 @@ object RtfExtract {
       case '\\' => "\\\\"
       case '{' => "\\{"
       case '}' => "\\}"
-      case c if c > 127 => f"\\u${c.toInt}%d?"
+      case c if c > 127 =>
+        // RTF \uN is SIGNED 16-bit decimal: U+8000.. wraps negative
+        val n = if (c.toInt > 32767) c.toInt - 65536 else c.toInt
+        f"\\u$n%d?"
       case c => c.toString
     }
     val body = paragraphs.zipWithIndex.map { case (p, i) =>

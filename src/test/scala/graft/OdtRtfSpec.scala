@@ -113,6 +113,35 @@ class OdtRtfSpec extends AnyFunSuite {
     assert(doc.blocks == Seq(Table("|Quarterly Totals|42|\n|---|---|")))
   }
 
+  test("rtf: uc fallback consumes control-word/symbol fallbacks; signed \\uN round-trips") {
+    // \uc1\u233 with a \'e9 hex fallback: the fallback is consumed, not doubled
+    val hexFb = "{\\rtf1 caf\\uc1\\u233\\'e9 x\\par}"
+    assert(RtfExtract.extract(hexFb.getBytes("ISO-8859-1"))
+      .fold(e => fail(e), identity).paragraphs == Seq("café x"))
+    // control-SYMBOL fallback (\~) consumed too
+    val symFb = "{\\rtf1 a\\uc1\\u160\\~b\\par}"
+    assert(RtfExtract.extract(symFb.getBytes("ISO-8859-1"))
+      .fold(e => fail(e), identity).paragraphs == Seq("a b"))
+    // writer emits SIGNED 16-bit \uN for U+8000..: full round-trip
+    val rtf = RtfExtract.buildRtf("t", Seq("wide ！ char"))
+    assert(rtf.contains("\\u-255?"))
+    assert(RtfExtract.extract(rtf.getBytes("ISO-8859-1"))
+      .fold(e => fail(e), identity).paragraphs == Seq("wide ！ char"))
+  }
+
+  test("rtf: consecutive \\page = blank page; malformed params degrade, not fail") {
+    val doc = RtfExtract.extract("{\\rtf1 A\\par\\page\\page B\\par}".getBytes)
+      .fold(e => fail(e), identity)
+    assert(doc.pageCount == 3)
+    val spans = RtfExtract.toSpans(doc)
+    assert(spans.map(_.text) == Seq(
+      """{"next_page":1}""", "A", """{"next_page":2}""", """{"next_page":3}""", "B"))
+    // '-' with no digits and an overflowing parameter both degrade gracefully
+    val d2 = RtfExtract.extract("{\\rtf1 ok\\foo-x more\\bin2147483648 tail\\par}".getBytes)
+      .fold(e => fail(e), identity)
+    assert(d2.paragraphs.head.startsWith("okx more"))
+  }
+
   test("ingestion routes: .odt and .rtf extract through the pipeline") {
     val odt = OdtExtract.buildOdt("Routed Odt", Seq(Para("# H"), Para("body")))
     val o1 = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc("a/x.odt", odt))
