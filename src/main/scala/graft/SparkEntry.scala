@@ -743,6 +743,25 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_boilerplate" -> ((s, dir) => {
+      // CCNet-style corpus-level boilerplate-paragraph removal: every doc
+      // carries a universal header (df = N), a shared promo block
+      // (df ≈ N/3), and two unique paragraphs; with maxDocFreq=10 the
+      // first two vanish corpus-wide and the unique text survives in
+      // order — the oracle reconstructs the survivors arithmetically
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val paras = Seq(
+            "common header boilerplate",
+            s"unique body $id alpha",
+            s"promo block ${id % 3}",
+            s"unique tail ${(id * 7) % 11} of $id")
+          (id, paras.mkString("\n\n"))
+        }.toDF("doc_id", "text")
+      graft.ops.TextAnalysis.removeBoilerplateParagraphs(docs, maxDocFreq = 10)
+        .select(col("doc_id"), col("clean_text"))
+    }),
     "q_pdf_images" -> ((s, dir) => {
       // PDF image SIDECAR extraction: deterministic per-doc PDFs embed
       // DCTDecode image XObjects (passthrough: the payload IS the file) →
@@ -1458,6 +1477,13 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_spans,
         |  'Rtf alpha ' || (doc_id % 8) || chr(10) ||
         |  'Second ' || ((doc_id + 3) % 5) AS text_all
+        |FROM documents""".stripMargin,
+    "q_boilerplate" ->
+      // the two hot paragraphs (df=N and df~N/3, both >10) vanish; the
+      // unique body+tail survive joined by the blank-line separator
+      """SELECT doc_id,
+        |  'unique body ' || doc_id || ' alpha' || chr(10) || chr(10) ||
+        |  'unique tail ' || ((doc_id * 7) % 11) || ' of ' || doc_id AS clean_text
         |FROM documents""".stripMargin,
     "q_pdf_images" ->
       // img-0 on page 1 always; img-1 on page 2 for even ids with >=2 pages

@@ -101,4 +101,42 @@ object TextAnalysis {
 
   /** SHA-256 content hash for exact dedup (matches DuckDB's sha256). */
   def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Corpus-level boilerplate-paragraph removal — the CCNet-style
+    * line/paragraph dedup a web-scale training pipeline runs before
+    * document-level dedup (public technique: CCNet, Wenzek et al. 2019;
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021): any paragraph occurring more than `maxDocFreq` times
+    * ACROSS the corpus (cookie banners, nav footers, license headers) is
+    * dropped from every document; surviving paragraphs reassemble in
+    * their original order.
+    *
+    * Scale shape: one explode, one paragraph-frequency aggregation, one
+    * LEFT ANTI join against the (small) hot-paragraph list — AQE
+    * broadcasts it — and one per-doc reassembly aggregate. No windows, no
+    * all-pairs anything; the hot list is bounded by the number of
+    * paragraphs whose df exceeds the cap, tiny by construction.
+    *
+    * @return (doc_id, clean_text); documents whose every paragraph was
+    *         boilerplate drop out (their clean text would be empty).
+    */
+  def removeBoilerplateParagraphs(
+      docs: DataFrame,
+      maxDocFreq: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sep: String = "\n\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val hot = paras.groupBy(col("para"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("para")
+    paras.join(hot, Seq("para"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s("para")), sep).as("clean_text"))
+  }
 }

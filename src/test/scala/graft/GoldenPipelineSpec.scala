@@ -57,6 +57,28 @@ class GoldenPipelineSpec extends AnyFunSuite {
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
+
+  test("removeBoilerplateParagraphs: hot paragraphs vanish corpus-wide, order survives") {
+    val spark = graft.pipeline.Pipeline.session("local[4]", 4, "graft-test")
+    import spark.implicits._
+    // 20 docs sharing a banner; doc-unique middles; one doc is ALL banner
+    val docs = (0 until 20).map { i =>
+      val paras =
+        if (i == 19) Seq("BANNER", "BANNER")
+        else Seq("BANNER", s"middle $i", "BANNER", s"tail $i")
+      (i.toLong, paras.mkString("\n\n"))
+    }.toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.removeBoilerplateParagraphs(docs, maxDocFreq = 5)
+      .as[(Long, String)].collect().toMap
+    (0 until 19).foreach { i =>
+      assert(got(i.toLong) == s"middle $i\n\ntail $i", s"doc $i")
+    }
+    assert(!got.contains(19L), "all-boilerplate doc drops out")
+    // below the cap nothing is removed
+    val loose = graft.ops.TextAnalysis.removeBoilerplateParagraphs(docs, maxDocFreq = 1000)
+      .as[(Long, String)].collect().toMap
+    assert(loose(3L) == "BANNER\n\nmiddle 3\n\nBANNER\n\ntail 3")
+  }
   lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
 
   test("subwordCount upper-bounds tokenCount and splits long words") {

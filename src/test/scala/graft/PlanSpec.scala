@@ -62,6 +62,16 @@ class PlanSpec extends AnyFunSuite {
     assert(Similarity.nCellsFor(Long.MaxValue) == 65536)
   }
 
+  test("boilerplate removal: anti-join + aggregates, no window, no cross join") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, s"BANNER\n\nbody $i")).toDF("doc_id", "text")
+    val df = graft.ops.TextAnalysis.removeBoilerplateParagraphs(docs, maxDocFreq = 5)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftAnti"), p) // hot-paragraph filter is an anti-join
+  }
+
   test("dedup plans: survivors and banded LSH have no window sort") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"some words $i repeated $i here again and again"))
