@@ -153,9 +153,20 @@ object DocxExtract {
   }
 
   // ------------------------------------------------------------ zip
+  /** Per-entry inflation cap: untrusted containers can zip-bomb (tiny
+    * deflate stream → GiBs), which would OOM the executor JVM — a task
+    * death, not the documented failure-ROW contract. 256 MiB/entry and
+    * 1 GiB/container comfortably exceed any real document part while
+    * bounding the worst case; past either, the IllegalStateException is
+    * caught by the extractors' error channel and becomes a failure row.
+    */
+  private val MaxEntryBytes: Long = 256L << 20
+  private val MaxTotalBytes: Long = 1L << 30
+
   private[extract] def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.Map[String, Array[Byte]]()
+    var total = 0L
     try {
       var e = zin.getNextEntry
       while (e != null) {
@@ -163,7 +174,14 @@ object DocxExtract {
           val buf = new java.io.ByteArrayOutputStream()
           val tmp = new Array[Byte](8192)
           var n = zin.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = zin.read(tmp) }
+          while (n >= 0) {
+            buf.write(tmp, 0, n)
+            total += n
+            if (buf.size() > MaxEntryBytes || total > MaxTotalBytes)
+              throw new IllegalStateException(
+                s"zip entry ${e.getName} exceeds inflation cap (zip bomb?)")
+            n = zin.read(tmp)
+          }
           out(e.getName) = buf.toByteArray
         }
         e = zin.getNextEntry

@@ -345,11 +345,14 @@ object PdfBytes {
     out.toByteArray
   }
 
-  /** PNG predictors (per RFC 2083 §6, referenced by PDF §7.4.4.4) over
-    * `columns` bytes/row — xref streams routinely use Predictor 12 (Up).
+  /** PNG predictors (per RFC 2083 §6, referenced by PDF §7.4.4.4).
+    * `rowLen` = ceil(Columns×Colors×BitsPerComponent/8) bytes/row and the
+    * left/upper-left references step by `bpp` = Colors×BitsPerComponent/8
+    * bytes (min 1) — xref streams use Colors=1/BPC=8 (Predictor 12 / Up),
+    * but image rasters routinely carry Predictor 15 with Colors=3, where a
+    * 1-byte left reference would silently shear every row.
     */
-  private def pngPredict(data: Array[Byte], columns: Int): Array[Byte] = {
-    val rowLen = columns
+  private def pngPredict(data: Array[Byte], rowLen: Int, bpp: Int = 1): Array[Byte] = {
     val nRows = data.length / (rowLen + 1)
     val out = new Array[Byte](nRows * rowLen)
     var r = 0
@@ -360,9 +363,9 @@ object PdfBytes {
       var c = 0
       while (c < rowLen) {
         val raw = data(src + c) & 0xff
-        val left = if (c > 0) out(dst + c - 1) & 0xff else 0
+        val left = if (c >= bpp) out(dst + c - bpp) & 0xff else 0
         val up = if (r > 0) out(dst - rowLen + c) & 0xff else 0
-        val ul = if (r > 0 && c > 0) out(dst - rowLen + c - 1) & 0xff else 0
+        val ul = if (r > 0 && c >= bpp) out(dst - rowLen + c - bpp) & 0xff else 0
         val v = ft match {
           case 0 => raw
           case 1 => raw + left
@@ -599,7 +602,11 @@ object PdfBytes {
           val pred = d.m.get("Predictor").map(v => numOf(v).toInt).getOrElse(1)
           if (pred >= 10) {
             val cols = d.m.get("Columns").map(v => numOf(v).toInt).getOrElse(1)
-            pngPredict(b, cols)
+            val colors = d.m.get("Colors").map(v => numOf(v).toInt).getOrElse(1)
+            val bitsPc = d.m.get("BitsPerComponent").map(v => numOf(v).toInt).getOrElse(8)
+            val rowLen = (cols * colors * bitsPc + 7) / 8
+            val bpp = math.max(1, colors * bitsPc / 8)
+            pngPredict(b, rowLen, bpp)
           } else if (pred != 1) throw new IllegalStateException(s"predictor $pred")
           else b
         case None => b

@@ -255,8 +255,11 @@ object Dedup {
       // and Catalyst does not reuse the underlying exchange across their
       // differing repartitionings (verified: no ReusedExchange in the
       // plan), so it is persisted — shingling/capping runs once, not 3×.
-      // Storage is LRU-evictable; long-lived apps can unpersist via the
-      // returned plan's lineage.
+      // The persist is SCOPED: the (output-sized) result is materialized
+      // below and `sets` unpersisted before returning, so long-lived apps
+      // never accumulate the big intermediate. The returned DataFrame is
+      // itself persisted (it IS the materialization); callers may
+      // `.unpersist()` it when done.
       val sets = (
         if (maxDocFreq <= 0)
           sh0.select(col("doc_id"), array_sort(col("sh")).as("sh"),
@@ -292,12 +295,15 @@ object Dedup {
         .select("id_a", "id_b").distinct()
       val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("n_a"))
       val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("n_b"))
-      candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      val verified = candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
         .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",
           round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { verified.count(); () } finally sets.unpersist(blocking = true)
+      verified
     }
   }
 

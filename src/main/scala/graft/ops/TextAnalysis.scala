@@ -129,8 +129,11 @@ object TextAnalysis {
     val paras = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
+    // DOCUMENT frequency (CCNet semantics): one vote per (doc, para) —
+    // a single document repeating its own unique paragraph must not push
+    // it over the corpus-wide cap
     val hot = paras.groupBy(col("para"))
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("para")
     paras.join(hot, Seq("para"), "left_anti")
