@@ -597,9 +597,14 @@ object SparkEntry {
       // literal-Tj / hex-Tj / kerned-TJ show forms, Helvetica+WinAnsi) →
       // full content-stream interpretation (BT/ET, Td, font decode, line
       // assembly) → per-page text whose every character the oracle
-      // reproduces arithmetically. The REAL-world path is golden-locked in
-      // PdfTextSpec against the reference fixtures via the independent
-      // tools/pdf_text_oracle.py second implementation.
+      // reproduces arithmetically. EMBEDDED-FONT slices: id%4==1 builds the
+      // subsetted-TrueType shape (codes meaningless without the font's
+      // cmap+post; no /Encoding, no /ToUnicode) and id%4==3 the
+      // (3,1)-format-4 inverse-Unicode shape — same text, so the oracle is
+      // unchanged, but decode MUST run the TrueType chain. The REAL-world
+      // path is golden-locked in PdfTextSpec against the reference fixtures
+      // via the independent tools/pdf_text_oracle.py second implementation
+      // (which mirrors the TrueType chain in lockstep).
       import s.implicits._
       tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].flatMap { id =>
@@ -607,7 +612,11 @@ object SparkEntry {
           val pages = (1 to n).map { p =>
             Seq(s"Doc $id page $p", s"Lorem body ${(id + p) % 10}", s"alpha beta-${id % 4}")
           }
-          val bytes = graft.extract.PdfText.buildTextPdf(pages)
+          val bytes = (id % 4) match {
+            case 1 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = false)
+            case 3 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = true)
+            case _ => graft.extract.PdfText.buildTextPdf(pages)
+          }
           val texts = graft.extract.PdfText.pageTexts(bytes)
             .fold(e => throw new IllegalStateException(e), identity)
           texts.zipWithIndex.map { case (t, i) => (id, i + 1, t) }

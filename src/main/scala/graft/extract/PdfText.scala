@@ -21,9 +21,13 @@ import scala.collection.mutable.ArrayBuffer
   * (recursed with their /Matrix); image XObjects and inline images surfaced
   * as positioned placeholders for the layout stage.
   *
-  * Out of scope (documented, error-or-skip, never faked): embedded-font
-  * glyph-program inspection (a code with no ToUnicode/encoding entry decodes
-  * to U+FFFD), LZW/JBIG2/DCT content filters, vertical writing mode.
+  * Embedded-font decode (round 5): simple fonts whose codes miss both
+  * /ToUnicode and /Encoding resolve through the /FontFile2 TrueType
+  * program's own cmap/post tables ([[TrueType]]) before the ASCII
+  * fallback. Out of scope (documented, error-or-skip, never faked):
+  * Type1/CFF glyph-program inspection (/FontFile, /FontFile3), CID
+  * font-program decode for Type0 (their /ToUnicode or Identity ordering
+  * covers practice), JBIG2/DCT content filters, vertical writing mode.
   *
   * Line assembly contract (mirrored EXACTLY by the independent second
   * implementation `tools/pdf_text_oracle.py`, which establishes the golden
@@ -115,18 +119,24 @@ object PdfText {
     extract(data, password).map(_.map(_.lines.map(_.text).mkString("\n")))
 
   // ------------------------------------------------------------ font model
-  /** Decoded font: code → text + advance widths (glyph space, /1000). */
+  /** Decoded font: code → text + advance widths (glyph space, /1000).
+    * Decode chain: /ToUnicode → /Encoding map → embedded TrueType program
+    * ([[TrueType]]: cmap → glyph → inverse-Unicode-cmap | post name → AGL)
+    * → ASCII identity → Latin-1 tail → U+FFFD.
+    */
   private final case class Font(
       twoByte: Boolean,
       toUnicode: Map[Int, String],
       encoding: Map[Int, String],
       widths: Map[Int, Double],
-      defaultWidth: Double) {
+      defaultWidth: Double,
+      embedded: Option[TrueType.Embedded] = None) {
     def decode(code: Int): String =
       toUnicode.getOrElse(code, encoding.getOrElse(code,
-        if (!twoByte && code >= 32 && code < 127) code.toChar.toString
-        else if (!twoByte && code >= 161 && code <= 255) code.toChar.toString // Latin-1≈WinAnsi tail
-        else "�"))
+        embedded.flatMap(e => if (twoByte) None else e.decode(code)).getOrElse(
+          if (!twoByte && code >= 32 && code < 127) code.toChar.toString
+          else if (!twoByte && code >= 161 && code <= 255) code.toChar.toString // Latin-1≈WinAnsi tail
+          else "�")))
     def width(code: Int): Double = widths.getOrElse(code, defaultWidth)
   }
 
@@ -215,12 +225,18 @@ object PdfText {
           }.toMap
         case _ => Map.empty[Int, Double]
       }
-      val missing = m.get("FontDescriptor").map(doc.dict)
+      val fontDesc = m.get("FontDescriptor").map(doc.dict)
+      val missing = fontDesc
         .flatMap(_.get("MissingWidth").map(doc.resolve(_))) match {
         case Some(PNum(v)) => v
         case _ => 500.0
       }
-      Font(twoByte = false, toUni, encoding, widths, missing)
+      // subsetted-font fallback: /FontFile2 (a TrueType program) carries its
+      // own cmap/post — the only decode route for codes absent from both
+      // /ToUnicode and /Encoding (wild-PDF subsetters drop both)
+      val embedded = fontDesc.flatMap(_.get("FontFile2"))
+        .flatMap(doc.decodedStream).flatMap(TrueType.parse)
+      Font(twoByte = false, toUni, encoding, widths, missing, embedded)
     }
   }
 
@@ -791,6 +807,119 @@ object PdfText {
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** Embedded-TrueType writer variant — the encode side of the
+    * subsetted-font round-trip: the font dict has NO /Encoding and NO
+    * /ToUnicode, so every code is decodable ONLY through the /FontFile2
+    * program ([[TrueType.build]]).
+    *
+    *  - `unicodeCmap = false` (the subsetter shape): codes are assigned by
+    *    first use starting at 1 (meaningless without the font), a (1,0)
+    *    format-6 cmap maps code → glyph (code + 2), and a `post` 2.0 table
+    *    names each glyph with its AGL name (letters/digits as single-char
+    *    names, space/hyphen by name, anything else uniXXXX) — decode runs
+    *    cmap → post → AGL.
+    *  - `unicodeCmap = true`: codes are the raw Latin-1 bytes and the only
+    *    cmap is a (3,1) format-4 Unicode table onto arbitrary glyph ids
+    *    (100 + k) — decode runs cmap → inverse-Unicode.
+    * Strings are emitted as hex (subset codes include control bytes).
+    */
+  def buildTextPdfTT(pages: Seq[Seq[String]], unicodeCmap: Boolean): Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    val distinct: Seq[Char] = pages.flatten.flatMap(_.toSeq).distinct
+    require(distinct.forall(_ < 256), "fixture charset is Latin-1")
+    val codeOf: Map[Char, Int] =
+      if (unicodeCmap) distinct.map(c => c -> c.toInt).toMap
+      else distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    def aglName(c: Char): String =
+      if (c.isLetterOrDigit && c < 128) c.toString
+      else if (c == ' ') "space"
+      else if (c == '-') "hyphen"
+      else f"uni${c.toInt}%04X"
+    val ttf: Array[Byte] =
+      if (unicodeCmap)
+        TrueType.build(unicodeToGlyph =
+          distinct.zipWithIndex.map { case (c, i) => c.toInt -> (100 + i) })
+      else
+        TrueType.build(
+          codeToGlyph = distinct.map(c => codeOf(c) -> (codeOf(c) + 2)),
+          glyphNames = distinct.map(c => (codeOf(c) + 2) -> aglName(c)).toMap)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = ArrayBuffer[Int]()
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+    def hexOf(s: String): String = s.map(c => f"${codeOf(c)}%02X").mkString
+
+    def contentOf(lines: Seq[String]): Array[Byte] = {
+      val sb = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (i > 0) sb ++= "0 -16 Td\n"
+        if (i % 2 == 0) sb ++= s"<${hexOf(line)}> Tj\n"
+        else {
+          val cut = line.lastIndexOf(' ')
+          if (cut <= 0) sb ++= s"<${hexOf(line)}> Tj\n"
+          else sb ++= s"[<${hexOf(line.substring(0, cut))}> -400 <${hexOf(line.substring(cut + 1))}>] TJ\n"
+        }
+      }
+      sb ++= "ET\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+
+    val n = pages.length
+    val contentBase = 3 + n
+    val fontNum = contentBase + n
+    val fdNum = fontNum + 1
+    val ffNum = fontNum + 2
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w(s"<< /Type /Pages /Count $n /Kids [ ${(0 until n).map(i => s"${3 + i} 0 R").mkString(" ")} ] >>\nendobj\n")
+    pages.indices.foreach { i =>
+      beginObj(3 + i)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${contentBase + i} 0 R >>\nendobj\n")
+    }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val payload = deflate(contentOf(lines))
+      beginObj(contentBase + i)
+      w(s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    val codes = distinct.map(codeOf).sorted
+    val (first, last) = (codes.head, codes.last)
+    val widths = (first to last).map(c => if (codes.contains(c)) "600" else "0").mkString(" ")
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTA+Fixture " +
+      s"/FirstChar $first /LastChar $last /Widths [ $widths ] " +
+      s"/FontDescriptor $fdNum 0 R >>\nendobj\n")
+    beginObj(fdNum)
+    w(s"<< /Type /FontDescriptor /FontName /GRAFTA+Fixture /Flags 4 " +
+      s"/FontFile2 $ffNum 0 R >>\nendobj\n")
+    beginObj(ffNum)
+    w(s"<< /Length ${ttf.length} /Length1 ${ttf.length} >>\nstream\n")
+    out.write(ttf)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    val total = offsets.length + 1
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      o.toByteArray
+    } finally d.end()
   }
 
   // ------------------------------------------------------------ paragraphs

@@ -228,4 +228,60 @@ class PdfTextSpec extends AnyFunSuite {
     assert(Encodings.glyphChar("u1F600") == new String(Character.toChars(0x1F600)))
     assert(Encodings.glyphChar("nosuchglyphname") == "�")
   }
+
+  // ---------------------------------------------------- embedded TrueType
+  test("embedded TrueType: subsetter codes resolve via cmap(1,0) + post + AGL") {
+    // no /Encoding, no /ToUnicode; codes assigned by first use — only the
+    // font program can decode them
+    val pages = Seq(
+      Seq("Heading words here", "second line-with hyphen", "digits 0189"),
+      Seq("page two text"))
+    val pdf = PdfText.buildTextPdfTT(pages, unicodeCmap = false)
+    assert(PdfText.pageTexts(pdf) == Right(pages.map(_.mkString("\n"))))
+  }
+
+  test("embedded TrueType: (3,1) format-4 cmap resolves via inverse Unicode") {
+    val pages = Seq(Seq("Doc 42 page 1", "Lorem body 6", "alpha beta-2"))
+    val pdf = PdfText.buildTextPdfTT(pages, unicodeCmap = true)
+    assert(PdfText.pageTexts(pdf) == Right(pages.map(_.mkString("\n"))))
+  }
+
+  test("TrueType parser: cmap format 0, post standard-name indices, notdef") {
+    import graft.extract.TrueType
+    // glyph 5 -> standard name "A" (index 36), glyph 6 -> custom
+    // "germandbls", code 67 unmapped, glyph 0 never decodes
+    val ttf = TrueType.build(
+      codeToGlyph = Seq(65 -> 5, 66 -> 6, 68 -> 0),
+      glyphNames = Map(5 -> "A", 6 -> "germandbls"),
+      macCmapFormat = 0)
+    val e = TrueType.parse(ttf).get
+    assert(e.decode(65).contains("A"))
+    assert(e.decode(66).contains("ß"))
+    assert(e.decode(67).isEmpty)
+    assert(e.decode(68).isEmpty) // .notdef
+  }
+
+  test("TrueType parser: unknown glyph names fall through (caller's U+FFFD)") {
+    import graft.extract.TrueType
+    val ttf = TrueType.build(
+      codeToGlyph = Seq(1 -> 3),
+      glyphNames = Map(3 -> "glyph00042"))
+    assert(TrueType.parse(ttf).get.decode(1).isEmpty)
+    // malformed program: never throws
+    assert(TrueType.parse("not a font".getBytes("US-ASCII")).isEmpty)
+    assert(TrueType.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("embedded chain yields to /ToUnicode and /Encoding (fixture parity)") {
+    // fixtures carry FontFile2 WITH full ToUnicode: the embedded chain
+    // must not fire — locked by the unchanged golden hashes
+    val f = new java.io.File("/root/reference/tests/resources/pdf_sample.pdf")
+    assume(f.exists(), "reference fixtures not present")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val pages = PdfText.extract(bytes).fold(e => fail(e), identity)
+    val full = pages.map(_.lines.map(_.text).mkString("\n")).mkString("\f")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(full.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(sha == "76940ba0f49b28dcabc541e83481df39cc226a1ac05d2b959e937eae3f400887")
+  }
 }

@@ -155,6 +155,216 @@ WINANSI_HIGH = {0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
     0x9c: "œ", 0x9e: "ž", 0x9f: "Ÿ"}
 
 
+
+
+# ---------------------------------------------------- embedded TrueType
+# Lockstep mirror of graft.extract.TrueType (see its scaladoc for the
+# decode contract): sfnt directory -> cmap formats 0/4/6 + post 1.0/2.0,
+# code -> glyph via (1,0) > (3,0) > (3,1), glyph -> smallest Unicode from
+# the (3,1)/(0,*) cmap, else post name -> AGL.
+MAC_NAMES = (".notdef .null nonmarkingreturn space exclam quotedbl numbersign dollar percent ampersand quotesingle parenleft parenright asterisk plus comma hyphen period slash zero one two three four five six seven eight nine colon semicolon less equal greater question at A B C D E F G H I J K L M N O P Q R S T U V W X Y Z bracketleft backslash bracketright asciicircum underscore grave a b c d e f g h i j k l m n o p q r s t u v w x y z braceleft bar braceright asciitilde Adieresis Aring Ccedilla Eacute Ntilde Odieresis Udieresis aacute agrave acircumflex adieresis atilde aring ccedilla eacute egrave ecircumflex edieresis iacute igrave icircumflex idieresis ntilde oacute ograve ocircumflex odieresis otilde uacute ugrave ucircumflex udieresis dagger degree cent sterling section bullet paragraph germandbls registered copyright trademark acute dieresis notequal AE Oslash infinity plusminus lessequal greaterequal yen mu partialdiff summation product pi integral ordfeminine ordmasculine Omega ae oslash questiondown exclamdown logicalnot radical florin approxequal Delta guillemotleft guillemotright ellipsis nonbreakingspace Agrave Atilde Otilde OE oe endash emdash quotedblleft quotedblright quoteleft quoteright divide lozenge ydieresis Ydieresis fraction currency guilsinglleft guilsinglright fi fl daggerdbl periodcentered quotesinglbase quotedblbase perthousand Acircumflex Ecircumflex Aacute Edieresis Egrave Iacute Icircumflex Idieresis Igrave Oacute Ocircumflex apple Ograve Uacute Ucircumflex Ugrave dotlessi circumflex tilde macron breve dotaccent ring cedilla hungarumlaut ogonek caron Lslash lslash Scaron scaron Zcaron zcaron brokenbar Eth eth Yacute yacute Thorn thorn minus multiply onesuperior twosuperior threesuperior onehalf onequarter threequarters franc Gbreve gbreve Idotaccent Scedilla scedilla Cacute cacute Ccaron ccaron dcroat").split()
+assert len(MAC_NAMES) == 258
+
+AGL = {'AE': 'Æ', 'Aacute': 'Á', 'Acircumflex': 'Â', 'Adieresis': 'Ä', 
+    'Agrave': 'À', 'Aring': 'Å', 'Atilde': 'Ã', 'Ccedilla': 'Ç', 
+    'Eacute': 'É', 'Ecircumflex': 'Ê', 'Edieresis': 'Ë', 'Egrave': 'È', 
+    'Eth': 'Ð', 'Euro': '€', 'Iacute': 'Í', 'Icircumflex': 'Î', 
+    'Idieresis': 'Ï', 'Igrave': 'Ì', 'Lslash': 'Ł', 'Ntilde': 'Ñ', 'OE': 'Œ', 
+    'Oacute': 'Ó', 'Ocircumflex': 'Ô', 'Odieresis': 'Ö', 'Ograve': 'Ò', 
+    'Oslash': 'Ø', 'Otilde': 'Õ', 'Thorn': 'Þ', 'Uacute': 'Ú', 
+    'Ucircumflex': 'Û', 'Udieresis': 'Ü', 'Ugrave': 'Ù', 'Yacute': 'Ý', 
+    'aacute': 'á', 'acircumflex': 'â', 'acute': '´', 'adieresis': 'ä', 
+    'ae': 'æ', 'agrave': 'à', 'ampersand': '&', 'aring': 'å', 
+    'asciicircum': '^', 'asciitilde': '~', 'asterisk': '*', 'at': '@', 
+    'atilde': 'ã', 'backslash': '\\', 'bar': '|', 'braceleft': '{', 
+    'braceright': '}', 'bracketleft': '[', 'bracketright': ']', 'breve': '˘', 
+    'brokenbar': '¦', 'bullet': '•', 'caron': 'ˇ', 'ccedilla': 'ç', 
+    'cedilla': '¸', 'cent': '¢', 'circumflex': 'ˆ', 'colon': ':', 
+    'comma': ',', 'copyright': '©', 'currency': '¤', 'dagger': '†', 
+    'daggerdbl': '‡', 'degree': '°', 'dieresis': '¨', 'divide': '÷', 
+    'dollar': '$', 'dotaccent': '˙', 'dotlessi': 'ı', 'eacute': 'é', 
+    'ecircumflex': 'ê', 'edieresis': 'ë', 'egrave': 'è', 'eight': '8', 
+    'ellipsis': '…', 'emdash': '—', 'endash': '–', 'equal': '=', 'eth': 'ð', 
+    'exclam': '!', 'exclamdown': '¡', 'fi': 'ﬁ', 'five': '5', 'fl': 'ﬂ', 
+    'florin': 'ƒ', 'four': '4', 'fraction': '⁄', 'germandbls': 'ß', 
+    'grave': '`', 'greater': '>', 'guillemotleft': '«', 
+    'guillemotright': '»', 'guilsinglleft': '‹', 'guilsinglright': '›', 
+    'hungarumlaut': '˝', 'hyphen': '-', 'iacute': 'í', 'icircumflex': 'î', 
+    'idieresis': 'ï', 'igrave': 'ì', 'less': '<', 'logicalnot': '¬', 
+    'lslash': 'ł', 'macron': '¯', 'middot': '·', 'minus': '−', 'mu': 'µ', 
+    'multiply': '×', 'nbspace': '\xa0', 'nine': '9', 'ntilde': 'ñ', 
+    'numbersign': '#', 'oacute': 'ó', 'ocircumflex': 'ô', 'odieresis': 'ö', 
+    'oe': 'œ', 'ogonek': '˛', 'ograve': 'ò', 'one': '1', 'onehalf': '½', 
+    'onequarter': '¼', 'onesuperior': '¹', 'ordfeminine': 'ª', 
+    'ordmasculine': 'º', 'oslash': 'ø', 'otilde': 'õ', 'paragraph': '¶', 
+    'parenleft': '(', 'parenright': ')', 'percent': '%', 'period': '.', 
+    'periodcentered': '·', 'plus': '+', 'plusminus': '±', 'question': '?', 
+    'questiondown': '¿', 'quotedbl': '"', 'quotedblbase': '„', 
+    'quotedblleft': '“', 'quotedblright': '”', 'quoteleft': '‘', 
+    'quoteright': '’', 'quotesinglbase': '‚', 'quotesingle': "'", 
+    'registered': '®', 'ring': '˚', 'section': '§', 'semicolon': ';', 
+    'seven': '7', 'six': '6', 'slash': '/', 'softhyphen': '\xad', 
+    'space': ' ', 'sterling': '£', 'thorn': 'þ', 'three': '3', 
+    'threequarters': '¾', 'threesuperior': '³', 'tilde': '˜', 
+    'trademark': '™', 'two': '2', 'twosuperior': '²', 'uacute': 'ú', 
+    'ucircumflex': 'û', 'udieresis': 'ü', 'ugrave': 'ù', 'underscore': '_', 
+    'yacute': 'ý', 'ydieresis': 'ÿ', 'yen': '¥', 'zero': '0',}
+
+
+
+def glyph_char(name):
+    """AGL-subset resolution, identical to Encodings.glyphChar."""
+    if name in AGL:
+        return AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(chr(int(name[3:][i:i + 4], 16))
+                           for i in range(0, len(name) - 3, 4))
+        except ValueError:
+            return "\ufffd"
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except (ValueError, OverflowError):
+            return "\ufffd"
+    if len(name) == 1:
+        return name
+    return "\ufffd"
+
+
+def _cmap_subtable(d, off):
+    u16 = lambda p: int.from_bytes(d[p:p + 2], "big")
+    fmt = u16(off)
+    if fmt == 0:
+        if off + 262 > len(d):
+            return None
+        return {c: d[off + 6 + c] for c in range(256) if d[off + 6 + c]}
+    if fmt == 4:
+        segx2 = u16(off + 6)
+        segs = segx2 // 2
+        endp, startp = off + 14, off + 14 + segx2 + 2
+        deltap, rangep = startp + segx2, startp + 2 * segx2
+        if rangep + segx2 > len(d):
+            return None
+        out = {}
+        for s in range(segs):
+            end, start = u16(endp + 2 * s), u16(startp + 2 * s)
+            delta = int.from_bytes(d[deltap + 2 * s:deltap + 2 * s + 2],
+                                   "big", signed=True)
+            ro = u16(rangep + 2 * s)
+            if start == 0xFFFF or start > end:
+                continue
+            for c in range(start, end + 1):
+                if ro == 0:
+                    g = (c + delta) & 0xFFFF
+                else:
+                    gp = rangep + 2 * s + ro + 2 * (c - start)
+                    if gp + 2 > len(d):
+                        g = 0
+                    else:
+                        raw = u16(gp)
+                        g = (raw + delta) & 0xFFFF if raw else 0
+                if g:
+                    out[c] = g
+        return out
+    if fmt == 6:
+        first, cnt = u16(off + 6), u16(off + 8)
+        if off + 10 + 2 * cnt > len(d):
+            return None
+        return {first + i: u16(off + 10 + 2 * i)
+                for i in range(cnt) if u16(off + 10 + 2 * i)}
+    return None
+
+
+def parse_ttf(d):
+    """sfnt -> decode maps; None on anything malformed (caller falls back)."""
+    try:
+        u16 = lambda p: int.from_bytes(d[p:p + 2], "big")
+        u32 = lambda p: int.from_bytes(d[p:p + 4], "big")
+        if len(d) < 12 or u32(0) not in (0x00010000, 0x74727565, 0x4F54544F):
+            return None
+        cmap_off = post_off = -1
+        for i in range(u16(4)):
+            p = 12 + 16 * i
+            tag = d[p:p + 4]
+            if tag == b"cmap":
+                cmap_off = u32(p + 8)
+            elif tag == b"post":
+                post_off = u32(p + 8)
+        mac10 = win30 = win31 = uni0x = None
+        if cmap_off >= 0 and cmap_off + 4 <= len(d):
+            for k in range(u16(cmap_off + 2)):
+                e = cmap_off + 4 + 8 * k
+                plat, enc = u16(e), u16(e + 2)
+                m = _cmap_subtable(d, cmap_off + u32(e + 4))
+                if m is None:
+                    continue
+                if plat == 1 and enc == 0 and mac10 is None:
+                    mac10 = m
+                elif plat == 3 and enc == 0 and win30 is None:
+                    win30 = m
+                elif plat == 3 and enc == 1 and win31 is None:
+                    win31 = m
+                elif plat == 0 and uni0x is None:
+                    uni0x = m
+        if mac10 is not None:
+            c2g, symbol = mac10, False
+        elif win30 is not None:
+            c2g, symbol = win30, True
+        elif win31 is not None:
+            c2g, symbol = win31, False
+        elif uni0x is not None:
+            c2g, symbol = uni0x, False
+        else:
+            c2g, symbol = {}, False
+        uni_src = win31 if win31 is not None else uni0x
+        g2u = {}
+        if uni_src:
+            for cp, g in uni_src.items():
+                if g and (g not in g2u or cp < g2u[g]):
+                    g2u[g] = cp
+        gnames = {}
+        if post_off >= 0 and post_off + 34 <= len(d):
+            ver = u32(post_off)
+            if ver == 0x00010000:
+                gnames = dict(enumerate(MAC_NAMES))
+            elif ver == 0x00020000:
+                num = u16(post_off + 32)
+                idx = [u16(post_off + 34 + 2 * g) for g in range(num)]
+                custom, p = [], post_off + 34 + 2 * num
+                while p < len(d) and len(custom) < num:
+                    ln = d[p]
+                    if p + 1 + ln > len(d):
+                        break
+                    custom.append(d[p + 1:p + 1 + ln].decode("ascii"))
+                    p += 1 + ln
+                for g, ix in enumerate(idx):
+                    if ix < 258:
+                        gnames[g] = MAC_NAMES[ix]
+                    elif ix - 258 < len(custom):
+                        gnames[g] = custom[ix - 258]
+        if not c2g and not g2u and not gnames:
+            return None
+        return {"c2g": c2g, "symbol": symbol, "g2u": g2u, "names": gnames}
+    except Exception:
+        return None
+
+
+def ttf_decode(t, code):
+    g = t["c2g"].get(code)
+    if g is None and t["symbol"]:
+        g = t["c2g"].get(0xF000 | code)
+    if not g:
+        return None
+    if g in t["g2u"]:
+        return chr(t["g2u"][g])
+    if g in t["names"]:
+        s = glyph_char(t["names"][g])
+        if s and s != "\ufffd":
+            return s
+    return None
+
+
 def parse_font(fd, resolve, decoded):
     sub = fd.get("Subtype")
     sub = resolve(sub)[1] if sub else ""
@@ -196,7 +406,16 @@ def parse_font(fd, resolve, decoded):
     if "Widths" in fd:
         for i, wv in enumerate(resolve(fd["Widths"])[1]):
             widths[first + i] = float(resolve(wv)[1])
-    return {"two": False, "touni": touni, "enc": enc, "w": widths, "dw": 500.0}
+    ttf = None
+    if "FontDescriptor" in fd:
+        desc = resolve(fd["FontDescriptor"])[1]
+        if "FontFile2" in desc:
+            try:
+                ttf = parse_ttf(decoded(desc["FontFile2"]))
+            except Exception:
+                ttf = None
+    return {"two": False, "touni": touni, "enc": enc, "w": widths,
+            "dw": 500.0, "ttf": ttf}
 
 
 def fdecode(f, code):
@@ -204,6 +423,10 @@ def fdecode(f, code):
         return f["touni"][code]
     if code in f["enc"]:
         return f["enc"][code]
+    if not f["two"] and f.get("ttf"):
+        s = ttf_decode(f["ttf"], code)
+        if s is not None:
+            return s
     if not f["two"] and 32 <= code < 127:
         return chr(code)
     if not f["two"] and 161 <= code <= 255:
