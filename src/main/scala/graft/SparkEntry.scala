@@ -752,6 +752,93 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_doc" -> ((s, dir) => {
+      // legacy Word binary through the REAL ingestion route: CFB container
+      // ([MS-CFB] mini stream) + [MS-DOC] piece table with BOTH piece
+      // decodings (CP-1252 + UTF-16LE), SummaryInformation title, a page
+      // break before paragraph 2 on id%3==0
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val paras = Seq(
+            s"Doc legacy alpha ${id % 9}",
+            s"Mid section ${(id * 3) % 7}",
+            s"Tail words ${(id + 5) % 11}")
+          val breaks = if (id % 3 == 0) Seq(2) else Nil
+          val bytes = graft.extract.DocExtract.buildDoc(s"Word $id", paras, breaks)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.doc", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
+    "q_ppt" -> ((s, dir) => {
+      // legacy PowerPoint binary through the REAL ingestion route (explicit
+      // MIME, as the reference's convert(data, mime_type) call): [MS-PPT]
+      // record tree, UTF-16 title atoms + low-byte body atoms per slide
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val n = 1 + (id % 2).toInt
+          val slides = (1 to n).map { p =>
+            (s"Slide ${id % 6}-$p", Seq(s"Bullet ${(id + p) % 4}"))
+          }
+          val bytes = graft.extract.PptExtract.buildPpt(s"Deck $id", slides)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.ppt", bytes, "application/vnd.ms-powerpoint"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
+    "q_ods" -> ((s, dir) => {
+      // ODS through the REAL ingestion route: ODF spreadsheet content.xml
+      // with repeated-blank-column filler the parser must trim; one page
+      // per sheet, XLSX-shaped pipe tables
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val sheets = Seq(
+            ("Data", Seq(Seq("K", "V"), Seq(s"k${id % 5}", s"${id % 7}"))),
+            ("Extra", Seq(Seq(s"x${id % 3}"))))
+          val bytes = graft.extract.OdsExtract.buildOds(s"Calc $id", sheets)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.ods", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
+    "q_rst" -> ((s, dir) => {
+      // rST through the REAL ingestion route: section underlines become
+      // docutils-leveled headings, a literal block fences, inline
+      // ``literal`` converts — all arithmetic in doc_id
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val rst =
+            s"""Title ${id % 5}
+               |====================
+               |
+               |Body paragraph ${(id * 2) % 9} with ``code`` inline
+               |
+               |Sub ${id % 3}
+               |--------------------
+               |
+               |Closing words ${(id + 4) % 6}
+               |""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.rst", rst.getBytes("UTF-8")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "page_count", "n_spans", "text_all")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // CCNet-style corpus-level boilerplate-paragraph removal: every doc
       // carries a universal header (df = N), a shared promo block
@@ -1486,6 +1573,47 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_spans,
         |  'Rtf alpha ' || (doc_id % 8) || chr(10) ||
         |  'Second ' || ((doc_id + 3) % 5) AS text_all
+        |FROM documents""".stripMargin,
+    "q_doc" ->
+      // initial page_break + 3 paragraphs (+1 break before para 2 on
+      // id%3==0); title from the SummaryInformation property set
+      """SELECT doc_id, 'Word ' || doc_id AS title,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS page_count,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END AS INT) AS n_spans,
+        |  'Doc legacy alpha ' || (doc_id % 9) || chr(10) ||
+        |  'Mid section ' || ((doc_id * 3) % 7) || chr(10) ||
+        |  'Tail words ' || ((doc_id + 5) % 11) AS text_all
+        |FROM documents""".stripMargin,
+    "q_ppt" ->
+      // 3 spans per slide (page_break + title heading + bullet)
+      """SELECT doc_id, 'Deck ' || doc_id AS title,
+        |  CAST(1 + doc_id % 2 AS INT) AS page_count,
+        |  CAST(3 * (1 + doc_id % 2) AS INT) AS n_spans,
+        |  string_agg('# Slide ' || (doc_id % 6) || '-' || p || chr(10) ||
+        |             'Bullet ' || ((doc_id + p) % 4), chr(10) ORDER BY p) AS text_all
+        |FROM documents, (SELECT unnest([1,2]) AS p) t
+        |WHERE p <= 1 + doc_id % 2
+        |GROUP BY doc_id""".stripMargin,
+    "q_ods" ->
+      // per sheet: page_break + '## name' + pipe table (repeated blank
+      // filler columns trimmed by the parser)
+      """SELECT doc_id, 'Calc ' || doc_id AS title,
+        |  CAST(2 AS INT) AS page_count, CAST(6 AS INT) AS n_spans,
+        |  '## Data' || chr(10) ||
+        |  '|K|V|' || chr(10) || '|---|---|' || chr(10) ||
+        |  '|k' || (doc_id % 5) || '|' || (doc_id % 7) || '|' || chr(10) ||
+        |  '## Extra' || chr(10) ||
+        |  '|x' || (doc_id % 3) || '|' || chr(10) || '|---|' AS text_all
+        |FROM documents""".stripMargin,
+    "q_rst" ->
+      // docutils-leveled headings ('='->1, '-'->2 by first appearance),
+      // inline double-backtick literal collapses to single
+      """SELECT doc_id,
+        |  CAST(1 AS INT) AS page_count, CAST(4 AS INT) AS n_spans,
+        |  '# Title ' || (doc_id % 5) || chr(10) ||
+        |  'Body paragraph ' || ((doc_id * 2) % 9) || ' with `code` inline' || chr(10) ||
+        |  '## Sub ' || (doc_id % 3) || chr(10) ||
+        |  'Closing words ' || ((doc_id + 4) % 6) AS text_all
         |FROM documents""".stripMargin,
     "q_boilerplate" ->
       // the two hot paragraphs (df=N and df~N/3, both >10) vanish; the

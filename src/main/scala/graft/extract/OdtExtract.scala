@@ -48,6 +48,9 @@ object OdtExtract {
   def toSpans(doc: OdtDoc): Seq[graft.model.Span] =
     DocxExtract.toSpans(DocxExtract.DocxDoc(doc.title, doc.blocks, doc.media))
 
+  /** dc:title from a meta.xml part (shared with [[OdsExtract]]). */
+  private[extract] def metaTitleOf(xml: Array[Byte]): String = metaTitle(xml)
+
   private def metaTitle(xml: Array[Byte]): String = {
     val r = reader(xml)
     try {

@@ -262,17 +262,28 @@ object Ingest {
 
   private val ExtRe = """\.(\w+)$""".r
 
-  /** One file → one RawDoc (pure; also the unit-test surface). */
-  def toRawDoc(relPath: String, bytes: Array[Byte]): RawDoc = {
-    val mime = mimeOf(relPath)
+  /** One file → one RawDoc (pure; also the unit-test surface).
+    * `mimeOverride` mirrors the reference's explicit-MIME convert call
+    * (converters/base.py:121: `convert(data, mime_type)`) — the caller
+    * already knows the type; extension guessing is the fallback. Needed
+    * for types the reference's EXT_TO_MIME table itself cannot guess
+    * (e.g. `.ppt` has no entry, mime_types.py:137 lists only `.pptx`).
+    */
+  def toRawDoc(relPath: String, bytes: Array[Byte], mimeOverride: String = ""): RawDoc = {
+    val mime = if (mimeOverride.nonEmpty) mimeOverride else mimeOf(relPath)
     mime match {
       case "text/html" =>
         RawDoc(relPath, "html", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
-      case "text/markdown" | "text/plain" | "text/x-rst" | "text/x-org" =>
+      case "text/markdown" | "text/plain" | "text/x-org" =>
         val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         RawDoc(relPath, detectDialect(text), mime, text, Nil, Nil, source_path = relPath)
+      case "text/x-rst" =>
+        // structural rST dialect (Pipeline routes through RstExtract)
+        RawDoc(relPath, "rst", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "application/pdf" =>
         // container-level PDF route (Pipeline.extractPdfOne): Latin-1
         // round-trips the binary payload through RawDoc's text column
@@ -302,6 +313,19 @@ object Ingest {
           source_path = relPath)
       case "application/rtf" =>
         RawDoc(relPath, "rtf_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/msword" =>
+        // legacy Word binary route (Pipeline.extractDocOne): CFB + piece table
+        RawDoc(relPath, "doc_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/vnd.ms-powerpoint" =>
+        RawDoc(relPath, "ppt_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/vnd.oasis.opendocument.spreadsheet" =>
+        RawDoc(relPath, "ods_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
       case other =>

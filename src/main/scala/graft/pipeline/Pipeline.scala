@@ -80,11 +80,19 @@ object Pipeline {
       if (r.payload_kind == "epub_bytes") return extractEpubOne(r)
       if (r.payload_kind == "odt_bytes") return extractOdtOne(r)
       if (r.payload_kind == "rtf_bytes") return extractRtfOne(r)
+      if (r.payload_kind == "doc_bytes") return extractDocOne(r)
+      if (r.payload_kind == "ppt_bytes") return extractPptOne(r)
+      if (r.payload_kind == "ods_bytes") return extractOdsOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
         case "pdf_layout" =>
           val l = PdfLayout.layout(r.elements); (l.spans, l.images, "")
+        case "rst" =>
+          // structural rST → markdown, then the plain-markdown span grammar
+          val n = Normalize.dialect("md_plain",
+            graft.extract.RstExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case k =>
           val n = Normalize.dialect(k, r.raw, r.pages); (n.spans, n.images, "")
       }
@@ -305,6 +313,56 @@ object Pipeline {
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
           source_path = r.source_path, media = Nil,
           metadata = Map("rtf_paragraphs" -> doc.paragraphs.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** Legacy Word binary extraction ([[graft.extract.DocExtract]]): CFB
+    * container + [MS-DOC] piece table; paragraphs and page breaks in the
+    * RTF-equivalent shape, title from the SummaryInformation property set.
+    */
+  private def extractDocOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.DocExtract.extract(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.RtfExtract.toSpans(
+          graft.extract.RtfExtract.RtfDoc(doc.title, doc.paragraphs, doc.pageBreaks))
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.pageCount, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("doc_paragraphs" -> doc.paragraphs.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** Legacy PowerPoint binary extraction ([[graft.extract.PptExtract]]):
+    * CFB + [MS-PPT] record tree; one page per Slide container.
+    */
+  private def extractPptOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.PptExtract.extract(bytes) match {
+      case Right(doc) =>
+        ExtractOut(r.doc_id, graft.extract.PptExtract.toSpans(doc), r.mime_type,
+          doc.slides.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("ppt_slides" -> doc.slides.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** ODS extraction ([[graft.extract.OdsExtract]]): one page per
+    * table:table sheet, each a `## name` heading + pipe table.
+    */
+  private def extractOdsOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.OdsExtract.extract(bytes) match {
+      case Right(doc) =>
+        ExtractOut(r.doc_id, graft.extract.OdsExtract.toSpans(doc), r.mime_type,
+          doc.sheets.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("ods_sheets" -> doc.sheets.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
   }

@@ -65,7 +65,7 @@ class DocxSpec extends AnyFunSuite {
     assert(DocxExtract.extract(out.toByteArray).isLeft)
   }
 
-  test("ingestion route: .docx → docx_bytes → content spans; .doc stays unsupported") {
+  test("ingestion route: .docx → docx_bytes → content spans; junk .doc fails as a row") {
     val bytes = DocxExtract.buildDocx("Routed", Seq(Para("# H"), Para("body")))
     val raw = graft.io.Ingest.toRawDoc("dir/file.docx", bytes)
     assert(raw.payload_kind == "docx_bytes")
@@ -74,9 +74,12 @@ class DocxSpec extends AnyFunSuite {
     assert(out.title == "Routed")
     assert(out.page_count == 1)
     assert(out.spans.map(_.text) == Seq("""{"next_page":1}""", "# H", "body"))
-    // legacy binary .doc has no byte-level parser: failure row, as before
+    // legacy binary .doc routes to the round-5 CFB parser; junk bytes are
+    // a failure ROW there (LegacyFormatsSpec covers the real round-trip)
     val doc = graft.io.Ingest.toRawDoc("dir/file.doc", "junk".getBytes)
-    assert(doc.payload_kind.startsWith("unsupported:"))
+    assert(doc.payload_kind == "doc_bytes")
+    val docOut = graft.pipeline.Pipeline.extractOne(doc)
+    assert(docOut.failure.startsWith("cfb_parse_error"))
     // corrupt docx payload → failure row with the parse error
     val bad = graft.pipeline.Pipeline.extractOne(
       graft.io.Ingest.toRawDoc("x.docx", "PK garbage".getBytes))
