@@ -933,15 +933,16 @@ object PdfText {
   def paragraphs(lines: Seq[Line]): Seq[String] =
     paragraphsWithMeta(lines).map(_._1)
 
-  /** (text, max line size, line count) per paragraph block. */
-  private def paragraphsWithMeta(lines: Seq[Line]): Seq[(String, Double, Int)] = {
+  /** (text, max line size, line count, top-line y) per paragraph block. */
+  private def paragraphsWithMeta(lines: Seq[Line]): Seq[(String, Double, Int, Double)] = {
     if (lines.isEmpty) return Nil
-    val out = ArrayBuffer[(String, Double, Int)]()
+    val out = ArrayBuffer[(String, Double, Int, Double)]()
     val cur = new StringBuilder(lines.head.text)
     var curSize = lines.head.size
     var curLines = 1
+    var curY = lines.head.y
     var prev = lines.head
-    def flush(): Unit = { out += ((cur.toString, curSize, curLines)) }
+    def flush(): Unit = { out += ((cur.toString, curSize, curLines, curY)) }
     lines.tail.foreach { l =>
       val step = prev.y - l.y
       val sizeJump = prev.size > 0 &&
@@ -950,7 +951,7 @@ object PdfText {
         sizeJump
       if (newPara) {
         flush()
-        cur.clear(); cur ++= l.text; curSize = l.size; curLines = 1
+        cur.clear(); cur ++= l.text; curSize = l.size; curLines = 1; curY = l.y
       } else {
         cur += ' '
         cur ++= l.text
@@ -970,14 +971,24 @@ object PdfText {
     * DOCUMENT (pass the whole document's lines as `allLines`), so one
     * oversized cover page cannot demote real body text.
     */
-  def markdownBlocks(lines: Seq[Line], allLines: Seq[Line]): Seq[String] = {
+  def markdownBlocks(lines: Seq[Line], allLines: Seq[Line]): Seq[String] =
+    markdownBlocksWithY(lines, allLines).map(_._1)
+
+  /** [[markdownBlocks]] plus each block's top-line baseline y — the
+    * position key the extraction pipeline uses to splice image spans into
+    * reading order within the page (the reference's converters interleave
+    * images at their layout position, test_output.ambr:49).
+    */
+  def markdownBlocksWithY(lines: Seq[Line], allLines: Seq[Line]): Seq[(String, Double)] = {
     val paras = paragraphsWithMeta(lines)
     val sizes = allLines.map(_.size).filter(_ > 0).sorted
     val body = if (sizes.isEmpty) 0.0 else sizes(sizes.length / 2)
-    paras.map { case (text, size, n) =>
-      if (n <= 2 && body > 0 && size >= 1.75 * body) "# " + text
-      else if (n <= 2 && body > 0 && size >= 1.3 * body) "## " + text
-      else text
+    paras.map { case (text, size, n, y) =>
+      val md =
+        if (n <= 2 && body > 0 && size >= 1.75 * body) "# " + text
+        else if (n <= 2 && body > 0 && size >= 1.3 * body) "## " + text
+        else text
+      (md, y)
     }
   }
 }

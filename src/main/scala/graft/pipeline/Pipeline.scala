@@ -141,11 +141,13 @@ object Pipeline {
     * dims, encryption flag) plus the [[graft.extract.PdfText]]
     * content-stream interpreter for the page TEXT — each page emits its
     * page_break marker followed by one text span per assembled paragraph
-    * (reading-order lines merged on leading/size steps). Image XObjects are
-    * surfaced by the interpreter but not emitted as spans here: their
-    * BYTES would need the raster codecs the container lacks, and a media
-    * span without a payload would break the sidecar contract — documented
-    * bound, not a fake. A locked PDF is a successful row with page_count 0
+    * (reading-order lines merged on leading/size steps). Byte-extractable
+    * image XObjects (JPEG/JPX passthrough, Flate→PNG) are spliced into the
+    * page's reading order at their device-space y as image spans + img-K
+    * media items; images needing codecs the container lacks (CCITT/JBIG2)
+    * keep interpreter placeholders only — a media span without a payload
+    * would break the sidecar contract (documented bound, not a fake).
+    * A locked PDF is a successful row with page_count 0
     * (the reference's basic encrypted shape); a corrupt one is a failure
     * row; a structure-parseable file whose content streams fail to
     * interpret degrades to the page_break skeleton with the error recorded
@@ -161,37 +163,41 @@ object Pipeline {
             case Right(ps) => (ps, "")
             case Left(err) => (Nil, err)
           }
-        // media sidecar: byte-extractable image XObjects (JPEG passthrough
-        // / PNG re-encode) become img-K items in encounter order, like the
-        // reference converters' Image payloads (img-0.jpeg, img-1.jpeg in
-        // the marker goldens); non-extractable ones stay placeholders only
+        // media sidecar + spans: byte-extractable image XObjects (JPEG
+        // passthrough / PNG re-encode) become img-K items SPLICED into
+        // reading order by their device-space y within the page — the
+        // reference's converters interleave images at layout position
+        // (test_output.ambr:49) — so img-K numbering follows the final
+        // position-derived order, not raw encounter order; non-extractable
+        // images stay interpreter placeholders only
         val media = scala.collection.mutable.ArrayBuffer[MediaItem]()
-        val pageImageRefs = pages.map { p =>
-          p.images.filter(_.data.nonEmpty).map { im =>
-            val ext = im.mime match {
-              case "image/jpeg" => "jpeg"
-              case "image/jp2" => "jp2"
-              case _ => "png"
-            }
-            val filename = s"img-${media.length}.$ext"
-            media += MediaItem(filename, im.mime, im.data)
-            filename
-          }
-        }
         val spans = {
           val out = scala.collection.mutable.ArrayBuffer[Span]()
           val allLines = pages.flatMap(_.lines) // document-wide body-size basis
           (1 to info.pageCount).foreach { i =>
             out += Span(graft.model.SpanKind.PageBreak, s"""{"next_page":$i}""", "", out.length)
             pages.lift(i - 1).foreach { p =>
-              graft.extract.PdfText.markdownBlocks(p.lines, allLines)
-                .map(_.trim).filter(_.nonEmpty).foreach { para =>
-                  out += Span(graft.model.SpanKind.Text, para, "", out.length)
-                }
-            }
-            pageImageRefs.lift(i - 1).getOrElse(Nil).foreach { filename =>
-              val id = filename.substring(0, filename.lastIndexOf('.'))
-              out += Span(graft.model.SpanKind.Image, id, filename, out.length)
+              val paras: Seq[(Double, Either[String, graft.extract.PdfText.ImageRef])] =
+                graft.extract.PdfText.markdownBlocksWithY(p.lines, allLines)
+                  .map { case (t, y) => (t.trim, y) }
+                  .collect { case (t, y) if t.nonEmpty => (y, Left(t)) }
+              val imgs: Seq[(Double, Either[String, graft.extract.PdfText.ImageRef])] =
+                p.images.filter(_.data.nonEmpty).map(im => (im.y, Right(im)))
+              // stable sort: at equal y, text (listed first) precedes images
+              (paras ++ imgs).sortBy(-_._1).foreach {
+                case (_, Left(text)) =>
+                  out += Span(graft.model.SpanKind.Text, text, "", out.length)
+                case (_, Right(im)) =>
+                  val ext = im.mime match {
+                    case "image/jpeg" => "jpeg"
+                    case "image/jp2" => "jp2"
+                    case _ => "png"
+                  }
+                  val filename = s"img-${media.length}.$ext"
+                  media += MediaItem(filename, im.mime, im.data)
+                  out += Span(graft.model.SpanKind.Image,
+                    filename.substring(0, filename.lastIndexOf('.')), filename, out.length)
+              }
             }
           }
           out.toSeq

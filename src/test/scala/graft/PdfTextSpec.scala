@@ -272,6 +272,49 @@ class PdfTextSpec extends AnyFunSuite {
     assert(TrueType.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("image spans interleave into reading order by device-space y") {
+    // text at y=650, image drawn at y=500, text at y=300 — the image span
+    // must land BETWEEN the two text spans (position-derived order, not
+    // encounter order: the content stream draws the image LAST)
+    val jpeg = "FAKEJPEG".getBytes("ISO-8859-1")
+    val content =
+      "BT /F1 12 Tf 72 650 Td (above text) Tj ET\n" +
+        "BT /F1 12 Tf 72 300 Td (below text) Tj ET\n" +
+        "q 200 0 0 100 72 500 cm /Img0 Do Q\n"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+    w("%PDF-1.4\n")
+    obj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj(2); w("<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>\nendobj\n")
+    obj(3)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 5 0 R >> /XObject << /Img0 6 0 R >> >> " +
+      "/Contents 4 0 R >>\nendobj\n")
+    obj(4); w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    obj(5)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+    obj(6)
+    w(s"<< /Type /XObject /Subtype /Image /Width 64 /Height 48 /BitsPerComponent 8 " +
+      s"/ColorSpace /DeviceRGB /Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
+    out.write(jpeg)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val row = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("ordered.pdf", out.toByteArray))
+    assert(row.failure.isEmpty, row.failure)
+    assert(row.spans.map(s => (s.kind, s.text)) == Seq(
+      ("page_break", """{"next_page":1}"""),
+      ("text", "above text"),
+      ("image", "img-0"),
+      ("text", "below text")))
+    assert(row.media.map(_.media_ref) == Seq("img-0.jpeg"))
+  }
+
   test("embedded chain yields to /ToUnicode and /Encoding (fixture parity)") {
     // fixtures carry FontFile2 WITH full ToUnicode: the embedded chain
     // must not fire — locked by the unchanged golden hashes
