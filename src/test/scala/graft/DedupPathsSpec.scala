@@ -50,16 +50,16 @@ class DedupPathsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 
-  private def got(threshold: Double): Set[(Long, Long, Double)] =
-    Dedup.jaccardPairs(docs, threshold, shingleN = 3)
+  private def got(threshold: Double, usePrefix: Boolean): Set[(Long, Long, Double)] =
+    Dedup.jaccardPairsVia(docs, threshold, 3, 0, "text", "doc_id", usePrefix)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-  test("low-threshold path (count aggregation + length filter) equals naive") {
-    for (t <- Seq(0.1, 0.3, 0.49)) assert(got(t) == naive(t), s"t=$t")
+  test("count-aggregation path (second implementation) equals naive at all thresholds") {
+    for (t <- Seq(0.1, 0.18, 0.3, 0.49, 0.7)) assert(got(t, usePrefix = false) == naive(t), s"t=$t")
   }
 
-  test("high-threshold path (PPJoin prefix + verify) equals naive") {
-    for (t <- Seq(0.5, 0.7, 0.9)) assert(got(t) == naive(t), s"t=$t")
+  test("production path (PPJoin prefix + positional + verify) equals naive, low t included") {
+    for (t <- Seq(0.05, 0.18, 0.3, 0.5, 0.7, 0.9)) assert(got(t, usePrefix = true) == naive(t), s"t=$t")
   }
 
   test("integer-boundary thresholds don't lose pairs to fp ceiling") {
