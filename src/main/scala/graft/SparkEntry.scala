@@ -777,7 +777,9 @@ object SparkEntry {
     "q_ppt" -> ((s, dir) => {
       // legacy PowerPoint binary through the REAL ingestion route (explicit
       // MIME, as the reference's convert(data, mime_type) call): [MS-PPT]
-      // record tree, UTF-16 title atoms + low-byte body atoms per slide
+      // record tree, UTF-16 title atoms + low-byte body atoms per slide;
+      // id%3==0 stores the text in SlideListWithText (the REAL-PowerPoint
+      // placeholder shape) instead of inside the Slide drawings
       import s.implicits._
       tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].map { id =>
@@ -785,7 +787,8 @@ object SparkEntry {
           val slides = (1 to n).map { p =>
             (s"Slide ${id % 6}-$p", Seq(s"Bullet ${(id + p) % 4}"))
           }
-          val bytes = graft.extract.PptExtract.buildPpt(s"Deck $id", slides)
+          val bytes = graft.extract.PptExtract.buildPpt(s"Deck $id", slides,
+            viaSlideListWithText = id % 3 == 0)
           val out = graft.pipeline.Pipeline.extractOne(
             graft.io.Ingest.toRawDoc(s"d$id.ppt", bytes, "application/vnd.ms-powerpoint"))
           require(out.failure.isEmpty, out.failure)

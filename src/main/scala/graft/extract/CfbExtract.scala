@@ -110,6 +110,8 @@ object CfbExtract {
 
     // directory entries (128 bytes each) across the directory chain
     val dirBytes = readChain(firstDir, Long.MaxValue & 0x7FFFFFF)
+    final case class DirEntry(name: String, objType: Int, left: Int, right: Int,
+        child: Int, start: Int, size: Long)
     val entries = (0 until dirBytes.length / 128).map { e =>
       val p = e * 128
       val nameLen = u16(dirBytes, p + 64)
@@ -117,13 +119,32 @@ object CfbExtract {
         if (nameLen >= 2)
           new String(dirBytes, p, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
         else ""
-      val objType = dirBytes(p + 66) & 0xff
-      val start = u32(dirBytes, p + 116).toInt
-      val size = u32(dirBytes, p + 120) | (u32(dirBytes, p + 124) << 32)
-      (name, objType, start, size)
+      DirEntry(name, dirBytes(p + 66) & 0xff,
+        u32(dirBytes, p + 68).toInt, u32(dirBytes, p + 72).toInt,
+        u32(dirBytes, p + 76).toInt,
+        u32(dirBytes, p + 116).toInt,
+        u32(dirBytes, p + 120) | (u32(dirBytes, p + 124) << 32))
     }
-    val root = entries.find(_._2 == 5).getOrElse(throw new IllegalStateException("no root entry"))
-    val miniStream = if (root._4 > 0) readChain(root._3, root._4) else Array.emptyByteArray
+    val rootIdx = entries.indexWhere(_.objType == 5)
+    require(rootIdx >= 0, "no root entry")
+    val root = entries(rootIdx)
+    // ROOT-LEVEL streams only, via the root storage's red-black sibling
+    // tree: embedded OLE objects (ObjectPool/_NNNN sub-storages) carry
+    // their own WordDocument / \u0005SummaryInformation streams which
+    // must NOT shadow the document's (a flat name map was last-wins)
+    val rootStreams = ArrayBuffer[DirEntry]()
+    val seen = mutable.Set[Int]()
+    val pending = mutable.Stack[Int](root.child)
+    while (pending.nonEmpty) { // iterative: a crafted deep chain cannot SO
+      val id = pending.pop()
+      if (id >= 0 && id < entries.length && seen.add(id)) {
+        val e = entries(id)
+        pending.push(e.left)
+        pending.push(e.right)
+        if (e.objType == 2) rootStreams += e
+      }
+    }
+    val miniStream = if (root.size > 0) readChain(root.start, root.size) else Array.emptyByteArray
     val miniFat: Array[Int] =
       if (firstMiniFat == EndOfChain || firstMiniFat == FreeSect) Array.emptyIntArray
       else {
@@ -146,9 +167,9 @@ object CfbExtract {
       if (size <= b.length) java.util.Arrays.copyOfRange(b, 0, size.toInt) else b
     }
 
-    entries.collect {
-      case (name, 2, start, size) =>
-        name -> (if (size < miniCutoff) readMini(start, size) else readChain(start, size))
+    rootStreams.map { e =>
+      e.name -> (if (e.size < miniCutoff) readMini(e.start, e.size)
+                 else readChain(e.start, e.size))
     }.toMap
   }
 

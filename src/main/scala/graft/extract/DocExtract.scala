@@ -87,11 +87,22 @@ object DocExtract {
           if (t.nonEmpty) paragraphs += t
           cur.clear()
         }
+        // fields: 0x13 begins a field (INSTRUCTION phase -- the raw field
+        // code like HYPERLINK/PAGEREF plus switches, skipped entirely),
+        // 0x14 separates (RESULT phase -- the display text, kept), 0x15
+        // ends. Fields nest (a TOC's result contains PAGEREF fields), so
+        // the phase is a stack.
+        val fieldPhase = scala.collection.mutable.Stack[Boolean]() // true = instruction
+        def inInstruction: Boolean = fieldPhase.exists(identity)
         sb.foreach {
+          case '\u0013' => fieldPhase.push(true)
+          case '\u0014' =>
+            if (fieldPhase.nonEmpty) { fieldPhase.pop(); fieldPhase.push(false) }
+          case '\u0015' => if (fieldPhase.nonEmpty) { fieldPhase.pop(); () }
+          case _ if inInstruction => ()
           case '\r' | '\u0007' => flush()
           case '\f' => flush(); pageBreaks += paragraphs.length
           case '\u000B' => cur += '\n'
-          case c if c >= '\u0013' && c <= '\u0015' => () // field marks
           case c if c < ' ' && c != '\t' && c != '\n' => ()
           case c => cur += c
         }

@@ -18,7 +18,8 @@ object OdsExtract {
   import DocxExtract.{readZip, reader, attr, collapseWs, tableMd, writeZip}
 
   final case class OdsSheet(name: String, rows: Seq[Seq[String]]) {
-    def toMd: String = tableMd(rows)
+    // empty sheets (default Sheet2/Sheet3 in real files) render as no table
+    def toMd: String = if (rows.isEmpty) "" else tableMd(rows)
   }
   final case class OdsDoc(title: String, sheets: Seq[OdsSheet])
 
@@ -40,10 +41,14 @@ object OdsExtract {
     var inSheet = false
     var rows = ArrayBuffer[Seq[String]]()
     var row = ArrayBuffer[String]()
+    var rowRepeat = 1
     var inCell = false
     var cellRepeat = 1
     var cellValue = ""
     val cellText = new StringBuilder
+    def repOf(rep: String): Int =
+      if (rep.nonEmpty && rep.forall(_.isDigit))
+        math.min(rep.toLong, 4096L).toInt else 1
     try {
       while (r.hasNext) {
         r.next() match {
@@ -53,14 +58,19 @@ object OdsExtract {
                 inSheet = true
                 sheetName = attr(r, "name")
                 rows = ArrayBuffer()
-              case "table-row" if inSheet => row = ArrayBuffer()
+              case "table-row" if inSheet =>
+                row = ArrayBuffer()
+                rowRepeat = repOf(attr(r, "number-rows-repeated"))
               case "table-cell" if inSheet =>
                 inCell = true
-                val rep = attr(r, "number-columns-repeated")
-                cellRepeat = if (rep.nonEmpty && rep.forall(_.isDigit))
-                  math.min(rep.toInt, 4096) else 1
+                cellRepeat = repOf(attr(r, "number-columns-repeated"))
                 cellValue = attr(r, "value")
                 cellText.clear()
+              case "covered-table-cell" if inSheet =>
+                // cells hidden under a merge still occupy columns: emit
+                // empty placeholders so later cells keep their alignment
+                for (_ <- 0 until repOf(attr(r, "number-columns-repeated")))
+                  row += ""
               case _ => ()
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -73,9 +83,11 @@ object OdsExtract {
                 val v = if (text.nonEmpty) text else cellValue
                 for (_ <- 0 until cellRepeat) row += v
               case "table-row" if inSheet =>
-                // drop the all-blank tail (repeated filler columns)
+                // drop the all-blank tail (repeated filler columns);
+                // data rows repeat per number-rows-repeated
                 val trimmed = row.reverse.dropWhile(_.isEmpty).reverse
-                if (trimmed.nonEmpty) rows += trimmed.toSeq
+                if (trimmed.nonEmpty)
+                  for (_ <- 0 until rowRepeat) rows += trimmed.toSeq
               case "table" if inSheet =>
                 inSheet = false
                 sheets += OdsSheet(sheetName, rows.toSeq)

@@ -605,7 +605,9 @@ object PdfBytes {
             val colors = d.m.get("Colors").map(v => numOf(v).toInt).getOrElse(1)
             val bitsPc = d.m.get("BitsPerComponent").map(v => numOf(v).toInt).getOrElse(8)
             val rowLen = (cols * colors * bitsPc + 7) / 8
-            val bpp = math.max(1, colors * bitsPc / 8)
+            // libpng convention: the left-reference stride rounds UP
+            // ((pixel_depth + 7) >> 3) — floor would shear 12-bit pixels
+            val bpp = math.max(1, (colors * bitsPc + 7) / 8)
             pngPredict(b, rowLen, bpp)
           } else if (pred != 1) throw new IllegalStateException(s"predictor $pred")
           else b

@@ -206,7 +206,13 @@ object PdfText {
               var code = 0
               items.map(doc.resolve(_)).foreach {
                 case PNum(v) => code = v.toInt
-                case PName(g) => diffs(code) = Encodings.glyphChar(g); code += 1
+                case PName(g) =>
+                  // an unresolvable name (subsetter-private g5/gid00007)
+                  // must NOT occupy the slot with U+FFFD — leaving it empty
+                  // lets the embedded-font chain resolve the code
+                  val ch = Encodings.glyphChar(g)
+                  if (ch != "�") diffs(code) = ch
+                  code += 1
                 case _ => ()
               }
             case _ => ()

@@ -98,8 +98,10 @@ object RstExtract {
               out ++= body.map(inline)
           }
           i = next max (i + 1)
-        case _ if t.startsWith("..") && indentOf(line) == 0 =>
-          // comment: drop the marker line and its indented body
+        case _ if (t == ".." || t.startsWith(".. ")) && indentOf(line) == 0 =>
+          // comment: '..' + whitespace (docutils); '....' is NOT a comment
+          // — it's a period adornment and must reach the transition and
+          // overline cases below
           val (_, next) = collectIndented(i + 1)
           i = next max (i + 1)
         case _ if isAdornment(line) && blankAt(i - 1) &&

@@ -191,15 +191,24 @@ object TrueType {
         val rangeP = deltaP + segX2
         if (rangeP + segX2 > r.d.length) return null
         val out = mutable.Map[Int, Int]()
+        // iteration cap: a crafted font can declare thousands of
+        // overlapping full-range segments (segs × 65536 ≈ 2e9 loops — a
+        // CPU DoS inside the per-row kernel); a legitimate BMP cmap needs
+        // ≤ 65536 total code visits, so 2^20 is generous. Past it, keep
+        // what is mapped (bounded-work degradation, mirrored by the
+        // Python oracle).
+        val iterCap = 1 << 20
+        var iters = 0
         var s = 0
-        while (s < segs) {
+        while (s < segs && iters < iterCap) {
           val end = r.u16(endP + 2 * s)
           val start = r.u16(startP + 2 * s)
           val delta = r.s16(deltaP + 2 * s)
           val ro = r.u16(rangeP + 2 * s)
           if (start != 0xffff && start <= end) {
             var c = start
-            while (c <= end) {
+            while (c <= end && iters < iterCap) {
+              iters += 1
               val g =
                 if (ro == 0) (c + delta) & 0xffff
                 else {

@@ -72,6 +72,23 @@ class LegacyFormatsSpec extends AnyFunSuite {
     assert(doc.slides.map(_.blocks) == Seq(Seq("point one", "point two"), Seq("untitled body")))
   }
 
+  test(".ppt SlideListWithText shape: placeholder text outside the drawings") {
+    val slides = Seq(("Head A", Seq("line a")), ("Head B", Seq("line b", "line c")))
+    val bytes = PptExtract.buildPpt("SLWT Deck", slides, viaSlideListWithText = true)
+    val doc = PptExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.title == "SLWT Deck")
+    assert(doc.slides.map(_.title) == Seq("Head A", "Head B"))
+    assert(doc.slides.map(_.blocks) == Seq(Seq("line a"), Seq("line b", "line c")))
+  }
+
+  test(".doc field instructions drop, field results keep") {
+    // HYPERLINK field: 0x13 instruction 0x14 result 0x15; nested PAGEREF
+    val para = "before \u0013HYPERLINK \"http://x\" \\h\u0014click here\u0015 after"
+    val bytes = DocExtract.buildDoc("F", Seq(para, "plain"), Nil)
+    val doc = DocExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.paragraphs == Seq("before click here after", "plain"))
+  }
+
   test(".ppt through the REAL ingestion route (explicit MIME, like the reference's convert call)") {
     val bytes = PptExtract.buildPpt("D", Seq(("S1", Seq("b1"))))
     val out = graft.pipeline.Pipeline.extractOne(
@@ -99,6 +116,45 @@ class LegacyFormatsSpec extends AnyFunSuite {
     assert(texts(1).startsWith("|Name|Value|"))
     assert(texts(1).contains("|a|1|"))
     assert(texts(2) == "## Empty")
+  }
+
+  private def zipOf(parts: (String, String)*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    parts.foreach { case (n, c) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close(); out.toByteArray
+  }
+
+  test(".ods: number-rows-repeated expands, covered cells hold columns, empty sheets render") {
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+        |<office:body><office:spreadsheet>
+        |<table:table table:name="S"><table:table-row table:number-rows-repeated="2">
+        |<table:table-cell table:number-columns-spanned="2"><text:p>merged</text:p></table:table-cell>
+        |<table:covered-table-cell/>
+        |<table:table-cell table:number-columns-repeated="2" office:value="7"/>
+        |<table:table-cell><text:p>tail</text:p></table:table-cell>
+        |</table:table-row>
+        |<table:table-row><table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell>
+        |<table:table-cell table:number-columns-repeated="1000"/></table:table-row>
+        |</table:table>
+        |<table:table table:name="Sheet2"/>
+        |</office:spreadsheet></office:body></office:document-content>""".stripMargin
+    val bytes = zipOf("mimetype" -> "application/vnd.oasis.opendocument.spreadsheet",
+      "content.xml" -> content)
+    val doc = OdsExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.sheets.map(_.name) == Seq("S", "Sheet2"))
+    assert(doc.sheets.head.rows == Seq(
+      Seq("merged", "", "7", "7", "tail"),
+      Seq("merged", "", "7", "7", "tail"),
+      Seq("a")))
+    // an empty trailing sheet must not fail the document (tableMd on Nil)
+    val spans = OdsExtract.toSpans(doc)
+    assert(spans.map(_.text).contains("## Sheet2"))
   }
 
   // ------------------------------------------------------------ rST
@@ -147,6 +203,14 @@ class LegacyFormatsSpec extends AnyFunSuite {
     assert(md.contains("![](pics/logo.png)"))
     assert(!md.contains("comment"))
     assert(md.contains("End text with `inline` and target."))
+  }
+
+  test("rST: period adornments are transitions/overlines, not comments") {
+    val md = RstExtract.toMarkdown("para one\n\n.....\n\npara two\n")
+    assert(md.contains("---"), md)
+    assert(md.contains("para two"))
+    // '..' with body is still a comment
+    assert(!RstExtract.toMarkdown(".. note text\n   more\n").contains("note text"))
   }
 
   test("rST routes through ingestion as structural markdown") {

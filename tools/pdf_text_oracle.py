@@ -247,7 +247,12 @@ def _cmap_subtable(d, off):
         if rangep + segx2 > len(d):
             return None
         out = {}
+        # iteration cap mirroring TrueType.scala: bounded-work degradation
+        # against crafted overlapping-segment cmaps
+        iters, iter_cap = 0, 1 << 20
         for s in range(segs):
+            if iters >= iter_cap:
+                break
             end, start = u16(endp + 2 * s), u16(startp + 2 * s)
             delta = int.from_bytes(d[deltap + 2 * s:deltap + 2 * s + 2],
                                    "big", signed=True)
@@ -255,6 +260,9 @@ def _cmap_subtable(d, off):
             if start == 0xFFFF or start > end:
                 continue
             for c in range(start, end + 1):
+                iters += 1
+                if iters > iter_cap:
+                    break
                 if ro == 0:
                     g = (c + delta) & 0xFFFF
                 else:
