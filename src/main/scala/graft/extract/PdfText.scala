@@ -54,8 +54,9 @@ object PdfText {
     * payload IS the JPEG), /JPXDecode passthrough (JPEG 2000), or a
     * Flate/LZW 8-bit DeviceRGB/DeviceGray raster re-encoded as PNG via
     * javax.imageio. Other color spaces/filters keep the positioned
-    * placeholder with empty data (documented bound — CCITT/JBIG2 need
-    * codecs the container lacks).
+    * placeholder with empty data. CCITT G4 (/K < 0) bilevel scans decode
+    * via [[CcittG4]] → PNG; the remaining placeholder-only bounds are
+    * JBIG2 and G3 (K >= 0), documented in CcittG4's scaladoc.
     */
   final case class ImageRef(
       x: Double, y: Double, name: String,
@@ -584,6 +585,46 @@ object PdfText {
         case Seq("DCTDecode") | Seq("DCT") =>
           val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
           ImageRef(0, 0, "", w, h, "image/jpeg", data)
+        case Seq("CCITTFaxDecode") | Seq("CCF") if w > 0 && h > 0 =>
+          // scanned-document images: G4 (/K < 0) decodes to a bilevel
+          // raster → PNG; K >= 0 (G3) keeps the placeholder (documented
+          // CcittG4 bound). BlackIs1 only affects bit-PACKED output, which
+          // is skipped — the decoder yields semantic black/white directly.
+          val parms: Map[String, PObj] =
+            doc.resolve(xm.getOrElse("DecodeParms", xm.getOrElse("DP", PNull))) match {
+              case PDict(mm) => mm
+              case PArr(items) if items.nonEmpty => doc.resolve(items.head) match {
+                case PDict(mm) => mm
+                case _ => Map.empty
+              }
+              case _ => Map.empty
+            }
+          def pnum(k: String, dflt: Double): Double =
+            parms.get(k).map(doc.resolve(_)) match {
+              case Some(PNum(v)) => v
+              case _ => dflt
+            }
+          val k = pnum("K", 0)
+          val cols = math.max(1, pnum("Columns", 1728).toInt)
+          val rws = math.max(1, pnum("Rows", h.toDouble).toInt)
+          val align = parms.get("EncodedByteAlign").map(doc.resolve(_)).contains(PBool(true))
+          if (k >= 0) ImageRef(0, 0, "", w, h, "", Array.emptyByteArray)
+          else {
+            val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
+            val px = CcittG4.decode(data, cols, rws, align)
+            val img = new java.awt.image.BufferedImage(
+              cols, rws, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val packed = new Array[Int](cols * rws)
+            var i = 0
+            while (i < packed.length) {
+              packed(i) = if (px(i) == 1) 0x000000 else 0xFFFFFF
+              i += 1
+            }
+            img.setRGB(0, 0, cols, rws, packed, 0, cols)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            ImageRef(0, 0, "", cols, rws, "image/png", bos.toByteArray)
+          }
         case Seq("JPXDecode") =>
           val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
           ImageRef(0, 0, "", w, h, "image/jp2", data)

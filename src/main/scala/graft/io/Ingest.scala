@@ -227,6 +227,13 @@ object Ingest {
 
   /** Open + fully read one file into a RawDoc; any IO problem becomes a
     * failure-kind row (surfaces in extraction lineage, never a task crash).
+    *
+    * Protocol parity with the reference's SUPPORTED_PROTOCOLS ("", file,
+    * http, https — converters/base.py:61): any Hadoop filesystem scheme
+    * works, and http(s) URLs resolve to Hadoop's built-in
+    * HttpFileSystem/HttpsFileSystem. Those report UNKNOWN lengths from
+    * getFileStatus, so `len <= 0` streams to EOF (capped at 2 GiB) instead
+    * of sizing a buffer up front.
     */
   private def readOne(
       conf: org.apache.hadoop.conf.Configuration,
@@ -240,9 +247,27 @@ object Ingest {
       else {
         val p = new org.apache.hadoop.fs.Path(full)
         val f = p.getFileSystem(conf)
-        val buf = new Array[Byte](len.toInt)
         val in = f.open(p)
-        try in.readFully(0, buf) finally in.close()
+        val buf =
+          try {
+            if (len > 0) {
+              val b = new Array[Byte](len.toInt)
+              in.readFully(0, b)
+              b
+            } else {
+              // unknown length (HttpFileSystem et al.): stream to EOF
+              val o = new java.io.ByteArrayOutputStream(1 << 16)
+              val tmp = new Array[Byte](1 << 16)
+              var n = in.read(tmp)
+              while (n >= 0) {
+                o.write(tmp, 0, n)
+                if (o.size() < 0 || o.size() >= Int.MaxValue - (1 << 16))
+                  throw new IllegalStateException("stream exceeds 2 GiB")
+                n = in.read(tmp)
+              }
+              o.toByteArray
+            }
+          } finally in.close()
         toRawDoc(rel, buf)
       }
     } catch {

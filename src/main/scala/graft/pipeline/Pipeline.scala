@@ -144,7 +144,8 @@ object Pipeline {
     * (reading-order lines merged on leading/size steps). Byte-extractable
     * image XObjects (JPEG/JPX passthrough, Flate→PNG) are spliced into the
     * page's reading order at their device-space y as image spans + img-K
-    * media items; images needing codecs the container lacks (CCITT/JBIG2)
+    * media items (CCITT G4 scans decode too); images needing codecs the
+    * container lacks (JBIG2, G3)
     * keep interpreter placeholders only — a media span without a payload
     * would break the sidecar contract (documented bound, not a fake).
     * A locked PDF is a successful row with page_count 0

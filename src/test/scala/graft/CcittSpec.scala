@@ -1,0 +1,109 @@
+package graft
+
+import graft.extract.CcittG4
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CCITT G4 codec: published-codeword spot checks (the round-trip alone
+  * cannot catch a mistranscribed table entry), a hand-computed bitstream,
+  * round-trip properties over structured rasters, and the PDF
+  * CCITTFaxDecode integration.
+  */
+class CcittSpec extends AnyFunSuite {
+
+  test("T.4 codewords match the published tables (spot checks)") {
+    def cw(run: Int, black: Boolean): String = CcittG4.codeword(run, black).get
+    // white terminating
+    assert(cw(0, black = false) == "00110101")
+    assert(cw(1, black = false) == "000111")
+    assert(cw(2, black = false) == "0111")
+    assert(cw(8, black = false) == "10011")
+    assert(cw(63, black = false) == "00110100")
+    // white makeup
+    assert(cw(64, black = false) == "11011")
+    assert(cw(1664, black = false) == "011000")
+    assert(cw(1728, black = false) == "010011011")
+    // black terminating
+    assert(cw(0, black = true) == "0000110111")
+    assert(cw(1, black = true) == "010")
+    assert(cw(2, black = true) == "11")
+    assert(cw(3, black = true) == "10")
+    assert(cw(63, black = true) == "000001100111")
+    // black makeup
+    assert(cw(64, black = true) == "0000001111")
+    assert(cw(1728, black = true) == "0000001100101")
+    // shared extended makeup
+    assert(cw(1792, black = true) == "00000001000")
+    assert(cw(2560, black = false) == "000000011111")
+  }
+
+  test("hand-computed stream: all-white 8x2 encodes as V0,V0,EOFB") {
+    val px = new Array[Byte](16)
+    val enc = CcittG4.encode(px, 8, 2)
+    // bits: 1 1 | 000000000001 000000000001 | pad -> bytes
+    // 11000000 00000100 00000000 01000000 (the first EOFB '1' is bit 13)
+    assert(enc.toSeq == Seq(0xC0, 0x04, 0x00, 0x40).map(_.toByte))
+    assert(CcittG4.decode(enc, 8, 2).toSeq == px.toSeq)
+  }
+
+  test("round-trip: stripes, checkerboard, text-like rasters, edges") {
+    def raster(w: Int, h: Int)(f: (Int, Int) => Boolean): Array[Byte] =
+      Array.tabulate(w * h)(i => if (f(i % w, i / w)) 1.toByte else 0.toByte)
+    val cases: Seq[(Int, Int, Array[Byte])] = Seq(
+      (64, 8, raster(64, 8)((x, _) => x % 7 < 3)), // vertical stripes
+      (32, 32, raster(32, 32)((x, y) => (x + y) % 2 == 0)), // checkerboard (VL/VR heavy)
+      (100, 10, raster(100, 10)((x, y) => (x * y) % 11 < 4)), // irregular
+      (80, 6, raster(80, 6)((x, y) => y >= 2 && x > 10 && x < 70 && (x / 5) % 2 == 0)),
+      (16, 4, raster(16, 4)((_, _) => true)), // all black (horizontal mode, run 16)
+      (2000, 3, raster(2000, 3)((x, _) => x > 1900)), // long runs -> makeup codes
+      (1, 1, raster(1, 1)((_, _) => true)),
+      (3000, 2, raster(3000, 2)((x, _) => x < 2900))) // > 2560: chained makeups
+    cases.foreach { case (w, h, px) =>
+      val enc = CcittG4.encode(px, w, h)
+      assert(CcittG4.decode(enc, w, h).toSeq == px.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("garbage input throws (caller degrades to placeholder), never hangs") {
+    intercept[Exception] {
+      CcittG4.decode(Array.fill[Byte](64)(0x55), 100, 100)
+      // if it decodes by luck, force a failure check on size instead
+      throw new IllegalStateException("decoded garbage")
+    }
+  }
+
+  test("PDF CCITTFaxDecode image extracts as a PNG with exact pixels") {
+    val w0 = 40; val h0 = 12
+    val px = Array.tabulate(w0 * h0)(i => if ((i % w0) / 4 % 2 == 0) 1.toByte else 0.toByte)
+    val payload = CcittG4.encode(px, w0, h0)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+    val content = s"q $w0 0 0 $h0 10 20 cm /Im0 Do Q\n"
+    w("%PDF-1.4\n")
+    obj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj(2); w("<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>\nendobj\n")
+    obj(3)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    obj(4); w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    obj(5)
+    w(s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
+      s"/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /CCITTFaxDecode " +
+      s"/DecodeParms << /K -1 /Columns $w0 /Rows $h0 >> /Length ${payload.length} >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val pages = graft.extract.PdfText.extract(out.toByteArray).fold(e => fail(e), identity)
+    val img = pages.head.images.head
+    assert(img.mime == "image/png" && img.width == w0 && img.height == h0)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val expect = if (px(y * w0 + x) == 1) 0x000000 else 0xFFFFFF
+      assert((decoded.getRGB(x, y) & 0xFFFFFF) == expect, s"pixel ($x,$y)")
+    }
+  }
+}
