@@ -99,8 +99,12 @@ object CfbExtract {
     }
 
     def readChain(start: Int, size: Long): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream(math.min(size, 1 << 26).toInt)
-      chain(start).foreach { s =>
+      // size the buffer from the ACTUAL chain, not the caller's bound — an
+      // unknown-size bound allocated 64 MB per call, dominating per-row cost
+      val sects = chain(start)
+      val cap = math.min(size, sects.length.toLong * secSize).toInt max 16
+      val out = new java.io.ByteArrayOutputStream(cap)
+      sects.foreach { s =>
         val base = sectorAt(s)
         out.write(data, base, math.min(secSize, data.length - base))
       }
