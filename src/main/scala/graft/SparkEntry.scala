@@ -842,6 +842,62 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_count", "n_spans", "text_all")
     }),
+    "q_xls" -> ((s, dir) => {
+      // legacy Excel binary through the REAL ingestion route: CFB +
+      // [MS-XLS] BIFF8 — SST strings (Continue-spilled on even ids),
+      // RK integers (negative range), Number doubles (integral and
+      // fractional), two sheets; title from SummaryInformation
+      import s.implicits._
+      import graft.extract.XlsExtract
+      import graft.extract.XlsExtract.{XlsNum, XlsRkInt, XlsStr}
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val sheets = Seq(
+            ("Data", Seq(
+              Seq[XlsExtract.XlsCell](XlsStr("Name"), XlsStr("Qty"), XlsStr("Price")),
+              Seq[XlsExtract.XlsCell](XlsStr(s"item-${id % 7}"),
+                XlsRkInt((id % 13).toInt - 3), XlsNum(id % 5 + 0.5)),
+              Seq[XlsExtract.XlsCell](XlsStr(s"thing ${id % 4}"),
+                XlsRkInt((id % 9).toInt), XlsNum((id % 3).toDouble)))),
+            ("Notes", Seq(
+              Seq[XlsExtract.XlsCell](XlsStr(s"nöte ${(id * 3) % 11}")))))
+          val bytes = XlsExtract.buildXls(s"Ledger $id", sheets,
+            continueSplit = id % 2 == 0)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.xls", bytes))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.title, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
+    }),
+    "q_csv" -> ((s, dir) => {
+      // delimited text through the REAL ingestion route — csv on even ids
+      // (RFC 4180 quoting: embedded delimiter, doubled quotes), tsv on odd
+      // (same cells unquoted) → the SAME pipe table either way
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val cells = Seq(
+            Seq("name", "qty", "note"),
+            Seq(s"alpha ${id % 5}", s"${id % 7}", s"x, y ${id % 3}"),
+            Seq("say \"hi\"", s"${(id * 2) % 9}", s"line${id % 4}"))
+          val (ext, text) =
+            if (id % 2 == 0) {
+              def q(c: String) =
+                if (c.contains(",") || c.contains("\""))
+                  "\"" + c.replace("\"", "\"\"") + "\""
+                else c
+              ("csv", cells.map(_.map(q).mkString(",")).mkString("", "\n", "\n"))
+            } else ("tsv", cells.map(_.mkString("\t")).mkString("", "\n", "\n"))
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.$ext", text.getBytes("UTF-8")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "page_count", "n_spans", "text_all")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // CCNet-style corpus-level boilerplate-paragraph removal: every doc
       // carries a universal header (df = N), a shared promo block
@@ -1617,6 +1673,32 @@ object SparkEntry {
         |  'Body paragraph ' || ((doc_id * 2) % 9) || ' with `code` inline' || chr(10) ||
         |  '## Sub ' || (doc_id % 3) || chr(10) ||
         |  'Closing words ' || ((doc_id + 4) % 6) AS text_all
+        |FROM documents""".stripMargin,
+    "q_xls" ->
+      // two sheets: page_break + '## name' + pipe table each; RK ints may
+      // be negative, doubles keep the XLSX <v> convention (x.5 / integral)
+      """SELECT doc_id, 'Ledger ' || doc_id AS title,
+        |  CAST(2 AS INT) AS page_count, CAST(6 AS INT) AS n_spans,
+        |  '## Data' || chr(10) ||
+        |  '|Name|Qty|Price|' || chr(10) || '|---|---|---|' || chr(10) ||
+        |  '|item-' || (doc_id % 7) || '|' || (doc_id % 13 - 3) || '|' ||
+        |    ((doc_id % 5) + 0.5) || '|' || chr(10) ||
+        |  '|thing ' || (doc_id % 4) || '|' || (doc_id % 9) || '|' ||
+        |    (doc_id % 3) || '|' || chr(10) ||
+        |  '## Notes' || chr(10) ||
+        |  '|nöte ' || ((doc_id * 3) % 11) || '|' || chr(10) || '|---|' AS text_all
+        |FROM documents""".stripMargin,
+    "q_csv" ->
+      // csv (even ids) and tsv (odd) carry identical cells → one table
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/csv'
+        |       ELSE 'text/tab-separated-values' END AS mime_type,
+        |  CAST(1 AS INT) AS page_count, CAST(1 AS INT) AS n_spans,
+        |  '|name|qty|note|' || chr(10) || '|---|---|---|' || chr(10) ||
+        |  '|alpha ' || (doc_id % 5) || '|' || (doc_id % 7) || '|x, y ' ||
+        |    (doc_id % 3) || '|' || chr(10) ||
+        |  '|say "hi"|' || ((doc_id * 2) % 9) || '|line' || (doc_id % 4) ||
+        |    '|' AS text_all
         |FROM documents""".stripMargin,
     "q_boilerplate" ->
       // the two hot paragraphs (df=N and df~N/3, both >10) vanish; the

@@ -353,6 +353,17 @@ object Ingest {
         RawDoc(relPath, "ods_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
+      case "application/vnd.ms-excel" =>
+        // legacy Excel binary route (Pipeline.extractXlsOne): CFB + BIFF8
+        RawDoc(relPath, "xls_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "text/csv" | "text/tab-separated-values" =>
+        // delimited text (reference converter surface:
+        // llamaparse_provider/provider.py:57-58) → one pipe table
+        RawDoc(relPath, if (mime == "text/csv") "csv" else "tsv", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case other =>
         // no byte-level parser for this format in-engine: surfaces as a
         // failure row in extraction lineage (reference raises on

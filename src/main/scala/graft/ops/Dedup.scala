@@ -328,7 +328,12 @@ object Dedup {
           round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // a REPEATED call builds a plan identical to a still-cached previous
+      // result; re-persisting it would only log a CacheManager warning —
+      // `storageLevel` (public API) consults the cache by plan, so the
+      // already-cached result is reused silently
+      if (verified.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { verified.count(); () } finally sets.unpersist(blocking = true)
       verified
     }

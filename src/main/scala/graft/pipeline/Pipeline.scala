@@ -83,6 +83,7 @@ object Pipeline {
       if (r.payload_kind == "doc_bytes") return extractDocOne(r)
       if (r.payload_kind == "ppt_bytes") return extractPptOne(r)
       if (r.payload_kind == "ods_bytes") return extractOdsOne(r)
+      if (r.payload_kind == "xls_bytes") return extractXlsOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -93,6 +94,14 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.RstExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "csv" | "tsv" =>
+          // RFC 4180 delimited text → one pipe table (spreadsheet shape)
+          val md = graft.extract.CsvExtract.toTableMd(
+            r.raw, if (r.payload_kind == "csv") ',' else '\t')
+          val spans =
+            if (md.isEmpty) Nil
+            else Seq(graft.model.Span(graft.model.SpanKind.Text, md, "", 0))
+          (spans, Nil, "")
         case k =>
           val n = Normalize.dialect(k, r.raw, r.pages); (n.spans, n.images, "")
       }
@@ -272,6 +281,23 @@ object Pipeline {
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
           source_path = r.source_path, media = Nil,
           metadata = Map("xlsx_sheets" -> doc.sheets.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** Legacy Excel binary extraction ([[graft.extract.XlsExtract]]): CFB
+    * container + [MS-XLS] BIFF8 records; the XLSX sheet→pipe-table shape,
+    * title from the SummaryInformation property set.
+    */
+  private def extractXlsOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.XlsExtract.extract(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.OfficeExtract.xlsxSpans(doc)
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.sheets.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("xls_sheets" -> doc.sheets.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
   }
