@@ -358,6 +358,14 @@ object Ingest {
         RawDoc(relPath, "xls_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
+      case "application/vnd.ms-excel.sheet.macroEnabled.12" =>
+        // .xlsm is the XLSX ZIP container plus a vbaProject part the
+        // sheet parser never opens (reference EXCEL_MACRO_MIME_TYPE,
+        // mime_types.py:21) — same route; .xlsb (BIFF12 binary parts)
+        // stays an unsupported failure row
+        RawDoc(relPath, "xlsx_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
       case "text/csv" | "text/tab-separated-values" =>
         // delimited text (reference converter surface:
         // llamaparse_provider/provider.py:57-58) → one pipe table

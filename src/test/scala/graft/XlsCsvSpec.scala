@@ -117,6 +117,17 @@ class XlsCsvSpec extends AnyFunSuite {
     assert(out5.failure.nonEmpty && out5.failure.contains("BIFF"))
   }
 
+  test(".xlsm routes through the XLSX parser (ZIP container, vba ignored)") {
+    val bytes = graft.extract.OfficeExtract.buildXlsx("Macro Wb",
+      Seq(("M", Seq(Seq("h"), Seq("v")))))
+    val out = graft.pipeline.Pipeline.extractOne(
+      graft.io.Ingest.toRawDoc("macro.xlsm", bytes))
+    assert(out.failure.isEmpty, out.failure)
+    assert(out.mime_type == "application/vnd.ms-excel.sheet.macroEnabled.12")
+    assert(out.title == "Macro Wb")
+    assert(out.spans.exists(_.text == "|h|\n|---|\n|v|"))
+  }
+
   // ------------------------------------------------------------ csv/tsv
   test("csv RFC 4180 corners: quotes, embedded delimiter, CRLF, ragged pad") {
     val csv = "a,b,c\r\n\"x, y\",\"say \"\"hi\"\"\",3\nshort,row\n"
