@@ -597,14 +597,15 @@ object SparkEntry {
       // literal-Tj / hex-Tj / kerned-TJ show forms, Helvetica+WinAnsi) →
       // full content-stream interpretation (BT/ET, Td, font decode, line
       // assembly) → per-page text whose every character the oracle
-      // reproduces arithmetically. EMBEDDED-FONT slices: id%4==1 builds the
-      // subsetted-TrueType shape (codes meaningless without the font's
-      // cmap+post; no /Encoding, no /ToUnicode) and id%4==3 the
-      // (3,1)-format-4 inverse-Unicode shape — same text, so the oracle is
-      // unchanged, but decode MUST run the TrueType chain. The REAL-world
-      // path is golden-locked in PdfTextSpec against the reference fixtures
-      // via the independent tools/pdf_text_oracle.py second implementation
-      // (which mirrors the TrueType chain in lockstep).
+      // reproduces arithmetically. EMBEDDED-FONT slices: id%8∈{1,7} builds
+      // the subsetted-TrueType shape (codes meaningless without the font's
+      // cmap+post; no /Encoding, no /ToUnicode), id%8∈{3} the
+      // (3,1)-format-4 inverse-Unicode shape, and id%8∈{5} the CFF/Type1C
+      // shape (/FontFile3: encoding → charset → SID name → AGL) — same
+      // text, so the oracle is unchanged, but decode MUST run the embedded
+      // chains. The REAL-world path is golden-locked in PdfTextSpec against
+      // the reference fixtures via the independent tools/pdf_text_oracle.py
+      // second implementation (which mirrors both chains in lockstep).
       import s.implicits._
       tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].flatMap { id =>
@@ -612,9 +613,10 @@ object SparkEntry {
           val pages = (1 to n).map { p =>
             Seq(s"Doc $id page $p", s"Lorem body ${(id + p) % 10}", s"alpha beta-${id % 4}")
           }
-          val bytes = (id % 4) match {
-            case 1 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = false)
+          val bytes = (id % 8) match {
+            case 1 | 7 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = false)
             case 3 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = true)
+            case 5 => graft.extract.PdfText.buildTextPdfCFF(pages)
             case _ => graft.extract.PdfText.buildTextPdf(pages)
           }
           val texts = graft.extract.PdfText.pageTexts(bytes)

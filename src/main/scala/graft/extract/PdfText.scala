@@ -131,10 +131,10 @@ object PdfText {
       encoding: Map[Int, String],
       widths: Map[Int, Double],
       defaultWidth: Double,
-      embedded: Option[TrueType.Embedded] = None) {
+      embedded: Option[Int => Option[String]] = None) {
     def decode(code: Int): String =
       toUnicode.getOrElse(code, encoding.getOrElse(code,
-        embedded.flatMap(e => if (twoByte) None else e.decode(code)).getOrElse(
+        embedded.flatMap(e => if (twoByte) None else e(code)).getOrElse(
           if (!twoByte && code >= 32 && code < 127) code.toChar.toString
           else if (!twoByte && code >= 161 && code <= 255) code.toChar.toString // Latin-1≈WinAnsi tail
           else "�")))
@@ -238,11 +238,15 @@ object PdfText {
         case Some(PNum(v)) => v
         case _ => 500.0
       }
-      // subsetted-font fallback: /FontFile2 (a TrueType program) carries its
-      // own cmap/post — the only decode route for codes absent from both
-      // /ToUnicode and /Encoding (wild-PDF subsetters drop both)
-      val embedded = fontDesc.flatMap(_.get("FontFile2"))
-        .flatMap(doc.decodedStream).flatMap(TrueType.parse)
+      // subsetted-font fallback: /FontFile2 (a TrueType program) carries
+      // its own cmap/post, /FontFile3 (a CFF/Type1C program) its own
+      // encoding/charset/strings — the only decode routes for codes absent
+      // from both /ToUnicode and /Encoding (wild-PDF subsetters drop both)
+      val embedded: Option[Int => Option[String]] =
+        fontDesc.flatMap(_.get("FontFile2")).flatMap(doc.decodedStream)
+          .flatMap(TrueType.parse).map(e => (c: Int) => e.decode(c))
+          .orElse(fontDesc.flatMap(_.get("FontFile3")).flatMap(doc.decodedStream)
+            .flatMap(Cff.parse).map(e => (c: Int) => e.decode(c)))
       Font(twoByte = false, toUni, encoding, widths, missing, embedded)
     }
   }
@@ -948,6 +952,89 @@ object PdfText {
     beginObj(ffNum)
     w(s"<< /Length ${ttf.length} /Length1 ${ttf.length} >>\nstream\n")
     out.write(ttf)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    val total = offsets.length + 1
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Embedded-CFF writer variant — the Type1C sibling of
+    * [[buildTextPdfTT]]: the font dict has NO /Encoding and NO /ToUnicode,
+    * so every code is decodable ONLY through the /FontFile3 (Subtype
+    * /Type1C) program ([[Cff.build]]). Codes are assigned by first use
+    * starting at 1, a format-0 CFF encoding maps code → glyph, and the
+    * format-0 charset names each glyph with its AGL name — letters as
+    * single-char STANDARD strings, digits/space/hyphen and uniXXXX names
+    * through BOTH the standard table and the custom String INDEX — decode
+    * runs encoding → charset → SID name → AGL. Strings are emitted as hex
+    * (subset codes include control bytes).
+    */
+  def buildTextPdfCFF(pages: Seq[Seq[String]]): Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    val distinct: Seq[Char] = pages.flatten.flatMap(_.toSeq).distinct
+    require(distinct.forall(_ < 256), "fixture charset is Latin-1")
+    val codeOf: Map[Char, Int] = distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    def aglName(c: Char): String =
+      if (c.isLetterOrDigit && c < 128) c.toString
+      else if (c == ' ') "space"
+      else if (c == '-') "hyphen"
+      else f"uni${c.toInt}%04X"
+    val cff = Cff.build(distinct.map(c => codeOf(c) -> aglName(c)))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = ArrayBuffer[Int]()
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+    def hexOf(s: String): String = s.map(c => f"${codeOf(c)}%02X").mkString
+
+    def contentOf(lines: Seq[String]): Array[Byte] = {
+      val sb = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (i > 0) sb ++= "0 -16 Td\n"
+        sb ++= s"<${hexOf(line)}> Tj\n"
+      }
+      sb ++= "ET\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+
+    val n = pages.length
+    val contentBase = 3 + n
+    val fontNum = contentBase + n
+    val fdNum = fontNum + 1
+    val ffNum = fontNum + 2
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w(s"<< /Type /Pages /Count $n /Kids [ ${(0 until n).map(i => s"${3 + i} 0 R").mkString(" ")} ] >>\nendobj\n")
+    pages.indices.foreach { i =>
+      beginObj(3 + i)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${contentBase + i} 0 R >>\nendobj\n")
+    }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val payload = deflate(contentOf(lines))
+      beginObj(contentBase + i)
+      w(s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    val codes = distinct.map(codeOf).sorted
+    val (first, last) = (codes.head, codes.last)
+    val widths = (first to last).map(c => if (codes.contains(c)) "600" else "0").mkString(" ")
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /Type1 /BaseFont /GRAFTB+Fixture " +
+      s"/FirstChar $first /LastChar $last /Widths [ $widths ] " +
+      s"/FontDescriptor $fdNum 0 R >>\nendobj\n")
+    beginObj(fdNum)
+    w(s"<< /Type /FontDescriptor /FontName /GRAFTB+Fixture /Flags 4 " +
+      s"/FontFile3 $ffNum 0 R >>\nendobj\n")
+    beginObj(ffNum)
+    w(s"<< /Length ${cff.length} /Subtype /Type1C >>\nstream\n")
+    out.write(cff)
     w("\nendstream\nendobj\n")
     val xrefAt = out.size()
     val total = offsets.length + 1

@@ -4,9 +4,25 @@ import graft.extract.PdfText
 
 /** Scratch harness: prints the extracted text of the reference fixtures so
   * the golden expectations can be reconciled against tools/pdf_text_oracle.py.
+  * `--gen <tt|ttuni|cff> <out.pdf>` writes the deterministic embedded-font
+  * fixture instead, for lockstep checks of the Python oracle's font decode.
   */
 object ProfPdfText {
   def main(args: Array[String]): Unit = {
+    if (args.length == 3 && args(0) == "--gen") {
+      val pages = Seq(
+        Seq("Doc 9 page 1", "Lorem body 4", "alpha beta-1"),
+        Seq("second page X", "tail 77"))
+      val bytes = args(1) match {
+        case "tt" => PdfText.buildTextPdfTT(pages, unicodeCmap = false)
+        case "ttuni" => PdfText.buildTextPdfTT(pages, unicodeCmap = true)
+        case "cff" => PdfText.buildTextPdfCFF(pages)
+        case other => sys.error(s"unknown fixture kind $other")
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(2)), bytes)
+      println(s"wrote ${bytes.length} bytes to ${args(2)}")
+      return
+    }
     val path = if (args.nonEmpty) args(0)
     else "/root/reference/tests/resources/pdf_sample.pdf"
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))

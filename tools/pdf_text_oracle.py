@@ -373,6 +373,221 @@ def ttf_decode(t, code):
     return None
 
 
+# ---------------------------------------------------- embedded CFF (Type1C)
+# Lockstep mirror of graft.extract.Cff (see its scaladoc for the decode
+# contract): header -> INDEX/DICT structures, charset formats 0/1/2,
+# encodings 0/1 (+ supplements), the 391 standard strings; predefined
+# standard encoding decodes straight through Adobe StandardEncoding;
+# CID-keyed (/ROS) and Expert flavors are rejected.
+CFF_STD_STRINGS = (".notdef space exclam quotedbl numbersign dollar percent ampersand quoteright parenleft parenright asterisk plus comma hyphen period slash zero one two three four five six seven eight nine colon semicolon less equal greater question at A B C D E F G H I J K L M N O P Q R S T U V W X Y Z bracketleft backslash bracketright asciicircum underscore quoteleft a b c d e f g h i j k l m n o p q r s t u v w x y z braceleft bar braceright asciitilde exclamdown cent sterling fraction yen florin section currency quotesingle quotedblleft guillemotleft guilsinglleft guilsinglright fi fl endash dagger daggerdbl periodcentered paragraph bullet quotesinglbase quotedblbase quotedblright guillemotright ellipsis perthousand questiondown grave acute circumflex tilde macron breve dotaccent dieresis ring cedilla hungarumlaut ogonek caron emdash AE ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash oslash oe germandbls onesuperior logicalnot mu trademark Eth onehalf plusminus Thorn onequarter divide brokenbar degree thorn threequarters twosuperior registered minus eth multiply threesuperior copyright Aacute Acircumflex Adieresis Agrave Aring Atilde Ccedilla Eacute Ecircumflex Edieresis Egrave Iacute Icircumflex Idieresis Igrave Ntilde Oacute Ocircumflex Odieresis Ograve Otilde Scaron Uacute Ucircumflex Udieresis Ugrave Yacute Ydieresis Zcaron aacute acircumflex adieresis agrave aring atilde ccedilla eacute ecircumflex edieresis egrave iacute icircumflex idieresis igrave ntilde oacute ocircumflex odieresis ograve otilde scaron uacute ucircumflex udieresis ugrave yacute ydieresis zcaron exclamsmall Hungarumlautsmall dollaroldstyle dollarsuperior ampersandsmall Acutesmall parenleftsuperior parenrightsuperior twodotenleader onedotenleader zerooldstyle oneoldstyle twooldstyle threeoldstyle fouroldstyle fiveoldstyle sixoldstyle sevenoldstyle eightoldstyle nineoldstyle commasuperior threequartersemdash periodsuperior questionsmall asuperior bsuperior centsuperior dsuperior esuperior isuperior lsuperior msuperior nsuperior osuperior rsuperior ssuperior tsuperior ff ffi ffl parenleftinferior parenrightinferior Circumflexsmall hyphensuperior Gravesmall Asmall Bsmall Csmall Dsmall Esmall Fsmall Gsmall Hsmall Ismall Jsmall Ksmall Lsmall Msmall Nsmall Osmall Psmall Qsmall Rsmall Ssmall Tsmall Usmall Vsmall Wsmall Xsmall Ysmall Zsmall colonmonetary onefitted rupiah Tildesmall exclamdownsmall centoldstyle Lslashsmall Scaronsmall Zcaronsmall Dieresissmall Brevesmall Caronsmall Dotaccentsmall Macronsmall figuredash hypheninferior Ogoneksmall Ringsmall Cedillasmall questiondownsmall oneeighth threeeighths fiveeighths seveneighths onethird twothirds zerosuperior foursuperior fivesuperior sixsuperior sevensuperior eightsuperior ninesuperior zeroinferior oneinferior twoinferior threeinferior fourinferior fiveinferior sixinferior seveninferior eightinferior nineinferior centinferior dollarinferior periodinferior commainferior Agravesmall Aacutesmall Acircumflexsmall Atildesmall Adieresissmall Aringsmall AEsmall Ccedillasmall Egravesmall Eacutesmall Ecircumflexsmall Edieresissmall Igravesmall Iacutesmall Icircumflexsmall Idieresissmall Ethsmall Ntildesmall Ogravesmall Oacutesmall Ocircumflexsmall Otildesmall Odieresissmall OEsmall Oslashsmall Ugravesmall Uacutesmall Ucircumflexsmall Udieresissmall Yacutesmall Thornsmall Ydieresissmall 001.000 001.001 001.002 001.003 Black Bold Book Light Medium Regular Roman Semibold").split()
+assert len(CFF_STD_STRINGS) == 391
+
+# Adobe StandardEncoding (mirror of graft.extract.Encodings.standard)
+STANDARD_ENC = {c: chr(c) for c in range(32, 127)}
+STANDARD_ENC.update({
+    0x27: "\u2019", 0x60: "\u2018",
+    0xa1: "\u00a1", 0xa2: "\u00a2", 0xa3: "\u00a3", 0xa4: "\u2044", 0xa5: "\u00a5",
+    0xa6: "\u0192", 0xa7: "\u00a7", 0xa8: "\u00a4", 0xa9: "'", 0xaa: "\u201c",
+    0xab: "\u00ab", 0xac: "\u2039", 0xad: "\u203a", 0xae: "\ufb01", 0xaf: "\ufb02",
+    0xb1: "\u2013", 0xb2: "\u2020", 0xb3: "\u2021", 0xb4: "\u00b7", 0xb6: "\u00b6",
+    0xb7: "\u2022", 0xb8: "\u201a", 0xb9: "\u201e", 0xba: "\u201d", 0xbb: "\u00bb",
+    0xbc: "\u2026", 0xbd: "\u2030", 0xbf: "\u00bf", 0xc1: "`", 0xc2: "\u00b4",
+    0xc3: "\u02c6", 0xc4: "\u02dc", 0xc5: "\u00af", 0xc6: "\u02d8", 0xc7: "\u02d9",
+    0xc8: "\u00a8", 0xca: "\u02da", 0xcb: "\u00b8", 0xcd: "\u02dd", 0xce: "\u02db",
+    0xcf: "\u02c7", 0xd0: "\u2014", 0xe1: "\u00c6", 0xe3: "\u00aa", 0xe8: "\u0141",
+    0xe9: "\u00d8", 0xea: "\u0152", 0xeb: "\u00ba", 0xf1: "\u00e6", 0xf5: "\u0131",
+    0xf8: "\u0142", 0xf9: "\u00f8", 0xfa: "\u0153", 0xfb: "\u00df"})
+
+
+def _cff_index(d, p):
+    """INDEX at p -> (entries, position after)."""
+    u16 = lambda q: int.from_bytes(d[q:q + 2], "big")
+    count = u16(p)
+    if count == 0:
+        return [], p + 2
+    off_size = d[p + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("INDEX offSize")
+    offs = [int.from_bytes(d[p + 3 + off_size * i:p + 3 + off_size * (i + 1)], "big")
+            for i in range(count + 1)]
+    data = p + 3 + off_size * (count + 1) - 1  # offsets are 1-based
+    entries = []
+    for i in range(count):
+        a, b = data + offs[i], data + offs[i + 1]
+        if a < 0 or b < a or b > len(d):
+            raise ValueError("INDEX entry out of bounds")
+        entries.append(d[a:b])
+    return entries, data + offs[count]
+
+
+def _cff_dict(b):
+    """DICT bytes -> {op (escaped = 1200+b): [operands]}."""
+    out, operands, p = {}, [], 0
+    while p < len(b):
+        b0 = b[p]
+        if b0 <= 21:
+            if b0 == 12:
+                p += 1
+                op = 1200 + b[p]
+            else:
+                op = b0
+            out[op] = operands
+            operands = []
+            p += 1
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            p += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + b[p + 1] + 108)
+            p += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - b[p + 1] - 108)
+            p += 2
+        elif b0 == 28:
+            operands.append(int.from_bytes(b[p + 1:p + 3], "big", signed=True))
+            p += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(b[p + 1:p + 5], "big", signed=True))
+            p += 5
+        elif b0 == 30:  # packed-BCD real: skip nibbles to terminator
+            p += 1
+            s, done = "", False
+            while not done and p < len(b):
+                for nib in (b[p] >> 4, b[p] & 0xF):
+                    if done:
+                        continue
+                    if nib == 0xF:
+                        done = True
+                    elif nib == 0xA:
+                        s += "."
+                    elif nib == 0xB:
+                        s += "E"
+                    elif nib == 0xC:
+                        s += "E-"
+                    elif nib == 0xE:
+                        s += "-"
+                    elif nib != 0xD:
+                        s += chr(ord("0") + nib)
+                p += 1
+            try:
+                operands.append(float(s))
+            except ValueError:
+                operands.append(0.0)
+        else:
+            p += 1
+    return out
+
+
+def parse_cff(d):
+    """CFF -> decode maps; None on CID-keyed/Expert/malformed."""
+    try:
+        if len(d) < 4 or d[0] != 1:
+            return None
+        u8 = lambda p: d[p]
+        u16 = lambda p: int.from_bytes(d[p:p + 2], "big")
+        _, after_names = _cff_index(d, d[2])
+        tops, after_top = _cff_index(d, after_names)
+        if not tops:
+            return None
+        top = _cff_dict(tops[0])
+        if 1230 in top:  # /ROS: CID-keyed, charset = CIDs
+            return None
+        string_idx, _ = _cff_index(d, after_top)
+        strings = [s.decode("ascii", "replace") for s in string_idx]
+        cs_off = int(top.get(17, [0])[0]) if top.get(17) else -1
+        if cs_off <= 0 or cs_off >= len(d):
+            return None
+        charstrings, _ = _cff_index(d, cs_off)
+        n_glyphs = len(charstrings)
+        if n_glyphs == 0:
+            return None
+        # charset: glyph -> SID
+        charset_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+        gsid = [0] * n_glyphs
+        if charset_off == 0:  # predefined ISOAdobe: identity
+            gsid = list(range(n_glyphs))
+        elif charset_off in (1, 2):  # predefined Expert charsets
+            return None
+        else:
+            fmt = u8(charset_off)
+            if fmt == 0:
+                for g in range(1, n_glyphs):
+                    gsid[g] = u16(charset_off + 1 + 2 * (g - 1))
+            elif fmt in (1, 2):
+                g, p = 1, charset_off + 1
+                while g < n_glyphs:
+                    first = u16(p)
+                    n_left = u8(p + 2) if fmt == 1 else u16(p + 2)
+                    p += 3 if fmt == 1 else 4
+                    k = 0
+                    while k <= n_left and g < n_glyphs:
+                        gsid[g] = first + k
+                        g += 1
+                        k += 1
+            else:
+                return None
+        # encoding: code -> glyph
+        enc_off = int(top.get(16, [0])[0]) if top.get(16) else 0
+        if enc_off == 0:
+            return {"std": True, "c2g": {}, "gsid": gsid, "strings": strings}
+        if enc_off == 1:  # predefined Expert encoding
+            return None
+        fmt_byte = u8(enc_off)
+        c2g = {}
+        sup_start = -1
+        if (fmt_byte & 0x7F) == 0:
+            n_codes = u8(enc_off + 1)
+            for i in range(1, n_codes + 1):
+                c2g[u8(enc_off + 1 + i)] = i
+            sup_start = enc_off + 2 + n_codes
+        elif (fmt_byte & 0x7F) == 1:
+            n_ranges = u8(enc_off + 1)
+            g = 1
+            for k in range(n_ranges):
+                first = u8(enc_off + 2 + 2 * k)
+                n_left = u8(enc_off + 2 + 2 * k + 1)
+                for j in range(n_left + 1):
+                    c2g[first + j] = g
+                    g += 1
+            sup_start = enc_off + 2 + 2 * n_ranges
+        else:
+            return None
+        if (fmt_byte & 0x80) and 0 <= sup_start < len(d):
+            # mirror Scala's toMap (last duplicate SID wins)
+            sid_to_glyph = {}
+            for g, sid in enumerate(gsid):
+                sid_to_glyph[sid] = g
+            for k in range(u8(sup_start)):
+                code = u8(sup_start + 1 + 3 * k)
+                sid = u16(sup_start + 1 + 3 * k + 1)
+                if sid in sid_to_glyph:
+                    c2g[code] = sid_to_glyph[sid]
+        return {"std": False, "c2g": c2g, "gsid": gsid, "strings": strings}
+    except Exception:
+        return None
+
+
+def cff_decode(t, code):
+    if t["std"]:
+        return STANDARD_ENC.get(code)
+    g = t["c2g"].get(code)
+    if not g:
+        return None
+    if g >= len(t["gsid"]):
+        return None
+    sid = t["gsid"][g]
+    if sid < 391:
+        name = CFF_STD_STRINGS[sid]
+    elif sid - 391 < len(t["strings"]):
+        name = t["strings"][sid - 391]
+    else:
+        return None
+    s = glyph_char(name)
+    if s and s != "\ufffd":
+        return s
+    return None
+
+
 def parse_font(fd, resolve, decoded):
     sub = fd.get("Subtype")
     sub = resolve(sub)[1] if sub else ""
@@ -414,7 +629,7 @@ def parse_font(fd, resolve, decoded):
     if "Widths" in fd:
         for i, wv in enumerate(resolve(fd["Widths"])[1]):
             widths[first + i] = float(resolve(wv)[1])
-    ttf = None
+    ttf = cff = None
     if "FontDescriptor" in fd:
         desc = resolve(fd["FontDescriptor"])[1]
         if "FontFile2" in desc:
@@ -422,8 +637,15 @@ def parse_font(fd, resolve, decoded):
                 ttf = parse_ttf(decoded(desc["FontFile2"]))
             except Exception:
                 ttf = None
+        if ttf is None and "FontFile3" in desc:
+            # CFF/Type1C sibling; a parsed FontFile2 wins (mirror of
+            # graft.extract.PdfText parseFont's orElse)
+            try:
+                cff = parse_cff(decoded(desc["FontFile3"]))
+            except Exception:
+                cff = None
     return {"two": False, "touni": touni, "enc": enc, "w": widths,
-            "dw": 500.0, "ttf": ttf}
+            "dw": 500.0, "ttf": ttf, "cff": cff}
 
 
 def fdecode(f, code):
@@ -433,6 +655,10 @@ def fdecode(f, code):
         return f["enc"][code]
     if not f["two"] and f.get("ttf"):
         s = ttf_decode(f["ttf"], code)
+        if s is not None:
+            return s
+    if not f["two"] and f.get("cff"):
+        s = cff_decode(f["cff"], code)
         if s is not None:
             return s
     if not f["two"] and 32 <= code < 127:
