@@ -600,12 +600,14 @@ object SparkEntry {
       // reproduces arithmetically. EMBEDDED-FONT slices: id%8∈{1,7} builds
       // the subsetted-TrueType shape (codes meaningless without the font's
       // cmap+post; no /Encoding, no /ToUnicode), id%8∈{3} the
-      // (3,1)-format-4 inverse-Unicode shape, and id%8∈{5} the CFF/Type1C
-      // shape (/FontFile3: encoding → charset → SID name → AGL) — same
-      // text, so the oracle is unchanged, but decode MUST run the embedded
-      // chains. The REAL-world path is golden-locked in PdfTextSpec against
-      // the reference fixtures via the independent tools/pdf_text_oracle.py
-      // second implementation (which mirrors both chains in lockstep).
+      // (3,1)-format-4 inverse-Unicode shape, id%8∈{5} the CFF/Type1C
+      // shape (/FontFile3: encoding → charset → SID name → AGL), and
+      // id%8∈{7} the original Type1 shape (/FontFile: cleartext dup-put
+      // encoding) — same text, so the oracle is unchanged, but decode MUST
+      // run the embedded chains. The REAL-world path is golden-locked in
+      // PdfTextSpec against the reference fixtures via the independent
+      // tools/pdf_text_oracle.py second implementation (which mirrors all
+      // three chains in lockstep).
       import s.implicits._
       tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].flatMap { id =>
@@ -614,9 +616,10 @@ object SparkEntry {
             Seq(s"Doc $id page $p", s"Lorem body ${(id + p) % 10}", s"alpha beta-${id % 4}")
           }
           val bytes = (id % 8) match {
-            case 1 | 7 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = false)
+            case 1 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = false)
             case 3 => graft.extract.PdfText.buildTextPdfTT(pages, unicodeCmap = true)
             case 5 => graft.extract.PdfText.buildTextPdfCFF(pages)
+            case 7 => graft.extract.PdfText.buildTextPdfT1(pages)
             case _ => graft.extract.PdfText.buildTextPdf(pages)
           }
           val texts = graft.extract.PdfText.pageTexts(bytes)

@@ -240,13 +240,16 @@ object PdfText {
       }
       // subsetted-font fallback: /FontFile2 (a TrueType program) carries
       // its own cmap/post, /FontFile3 (a CFF/Type1C program) its own
-      // encoding/charset/strings — the only decode routes for codes absent
-      // from both /ToUnicode and /Encoding (wild-PDF subsetters drop both)
+      // encoding/charset/strings, /FontFile (original Type1) its cleartext
+      // /Encoding — the only decode routes for codes absent from both
+      // /ToUnicode and /Encoding (wild-PDF subsetters drop both)
       val embedded: Option[Int => Option[String]] =
         fontDesc.flatMap(_.get("FontFile2")).flatMap(doc.decodedStream)
           .flatMap(TrueType.parse).map(e => (c: Int) => e.decode(c))
           .orElse(fontDesc.flatMap(_.get("FontFile3")).flatMap(doc.decodedStream)
             .flatMap(Cff.parse).map(e => (c: Int) => e.decode(c)))
+          .orElse(fontDesc.flatMap(_.get("FontFile")).flatMap(doc.decodedStream)
+            .flatMap(Type1.parse).map(e => (c: Int) => e.decode(c)))
       Font(twoByte = false, toUni, encoding, widths, missing, embedded)
     }
   }
@@ -973,7 +976,16 @@ object PdfText {
     * runs encoding → charset → SID name → AGL. Strings are emitted as hex
     * (subset codes include control bytes).
     */
-  def buildTextPdfCFF(pages: Seq[Seq[String]]): Array[Byte] = {
+  def buildTextPdfCFF(pages: Seq[Seq[String]]): Array[Byte] =
+    buildTextPdfProgram(pages, "cff")
+
+  /** Embedded-Type1 writer variant (/FontFile): same shape, decode runs
+    * the cleartext /Encoding `dup code /name put` entries ([[Type1]]).
+    */
+  def buildTextPdfT1(pages: Seq[Seq[String]]): Array[Byte] =
+    buildTextPdfProgram(pages, "t1")
+
+  private def buildTextPdfProgram(pages: Seq[Seq[String]], kind: String): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
     val distinct: Seq[Char] = pages.flatten.flatMap(_.toSeq).distinct
     require(distinct.forall(_ < 256), "fixture charset is Latin-1")
@@ -983,7 +995,15 @@ object PdfText {
       else if (c == ' ') "space"
       else if (c == '-') "hyphen"
       else f"uni${c.toInt}%04X"
-    val cff = Cff.build(distinct.map(c => codeOf(c) -> aglName(c)))
+    val glyphs = distinct.map(c => codeOf(c) -> aglName(c))
+    // (program bytes, descriptor key, extra stream-dict entries)
+    val (program, ffKey, ffDict) = kind match {
+      case "cff" => (Cff.build(glyphs), "FontFile3", " /Subtype /Type1C")
+      case _ =>
+        val (clear, priv) = Type1.buildParts(glyphs, stdEncoding = false)
+        (clear ++ priv, "FontFile",
+          s" /Length1 ${clear.length} /Length2 ${priv.length} /Length3 0")
+    }
 
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -1031,10 +1051,10 @@ object PdfText {
       s"/FontDescriptor $fdNum 0 R >>\nendobj\n")
     beginObj(fdNum)
     w(s"<< /Type /FontDescriptor /FontName /GRAFTB+Fixture /Flags 4 " +
-      s"/FontFile3 $ffNum 0 R >>\nendobj\n")
+      s"/$ffKey $ffNum 0 R >>\nendobj\n")
     beginObj(ffNum)
-    w(s"<< /Length ${cff.length} /Subtype /Type1C >>\nstream\n")
-    out.write(cff)
+    w(s"<< /Length ${program.length}$ffDict >>\nstream\n")
+    out.write(program)
     w("\nendstream\nendobj\n")
     val xrefAt = out.size()
     val total = offsets.length + 1

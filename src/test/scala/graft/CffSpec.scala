@@ -93,6 +93,44 @@ class CffSpec extends AnyFunSuite {
       "second page É\ntail 77"))
   }
 
+  // ------------------------------------------------------------ Type1
+  test("Type1: dup-put encoding, raw and PFB containers") {
+    import graft.extract.Type1
+    val names = Seq(72 -> "H", 105 -> "i", 32 -> "space", 233 -> "eacute")
+    for (pfb <- Seq(false, true)) {
+      val emb = Type1.parse(Type1.build(names, pfb = pfb))
+        .getOrElse(fail(s"parse failed pfb=$pfb"))
+      assert(emb.decode(72).contains("H"))
+      assert(emb.decode(32).contains(" "))
+      assert(emb.decode(233).contains("é"))
+      assert(emb.decode(99).isEmpty)
+    }
+  }
+
+  test("Type1: literal StandardEncoding and rejection corners") {
+    import graft.extract.Type1
+    val emb = Type1.parse(Type1.build(Nil, stdEncoding = true))
+      .getOrElse(fail("parse failed"))
+    assert(emb.decode('A'.toInt).contains("A"))
+    assert(emb.decode(0xA9).contains("'"))
+    assert(Type1.parse("no percent-bang here".getBytes).isEmpty)
+    assert(Type1.parse(Array.emptyByteArray).isEmpty)
+    // eexec BEFORE /Encoding: encoding is in the private portion -> reject
+    assert(Type1.parse(
+      "%!PS-AdobeFont-1.0\ncurrentfile eexec\n/Encoding dup 65 /A put"
+        .getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("PDF round-trip: /FontFile-only decode (Type1 cleartext encoding)") {
+    val pages = Seq(Seq("Doc 9 page 1", "Lorem body 4", "alpha beta-1"))
+    val bytes = PdfText.buildTextPdfT1(pages)
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!raw.contains("/ToUnicode") && raw.contains("/FontFile ") &&
+      raw.contains("/Length1"))
+    val texts = PdfText.pageTexts(bytes).fold(e => fail(e), identity)
+    assert(texts == Seq("Doc 9 page 1\nLorem body 4\nalpha beta-1"))
+  }
+
   test("standard strings table is intact") {
     // spot anchors: a wrong split/count would shift every SID after it
     val std = Cff.StdStrings

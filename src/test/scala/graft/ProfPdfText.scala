@@ -17,6 +17,7 @@ object ProfPdfText {
         case "tt" => PdfText.buildTextPdfTT(pages, unicodeCmap = false)
         case "ttuni" => PdfText.buildTextPdfTT(pages, unicodeCmap = true)
         case "cff" => PdfText.buildTextPdfCFF(pages)
+        case "t1" => PdfText.buildTextPdfT1(pages)
         case other => sys.error(s"unknown fixture kind $other")
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(args(2)), bytes)

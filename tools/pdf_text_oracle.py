@@ -588,6 +588,56 @@ def cff_decode(t, code):
     return None
 
 
+# ---------------------------------------------------- embedded Type1
+# Lockstep mirror of graft.extract.Type1: the /Encoding lives in the
+# CLEARTEXT portion (dup <code> /<name> put, or the literal
+# StandardEncoding) — no eexec decryption needed for text decode.
+import re as _re
+_T1_DUP = _re.compile(r"dup\s+(\d+)\s*/([^\s/{}()\[\]]+)\s+put")
+
+
+def parse_type1(d):
+    try:
+        if len(d) < 2:
+            return None
+        if d[0] == 0x80 and d[1] == 1 and len(d) >= 6:
+            ln = int.from_bytes(d[2:6], "little")
+            start, limit = 6, min(6 + max(ln, 0), len(d))
+        else:
+            start, limit = 0, len(d)
+        head = d[start:limit].decode("latin-1")
+        if "%!" not in head:
+            return None
+        e = head.find("eexec")
+        clear = head[:e] if e >= 0 else head
+        enc_at = clear.find("/Encoding")
+        if enc_at < 0:
+            return None
+        tail = clear[enc_at:]
+        first_dup = tail.find("dup ")
+        std_at = tail.find("StandardEncoding")
+        if std_at >= 0 and (first_dup < 0 or std_at < first_dup):
+            return {"std": True, "names": {}}
+        names = {int(m.group(1)): m.group(2) for m in _T1_DUP.finditer(tail)}
+        if not names:
+            return None
+        return {"std": False, "names": names}
+    except Exception:
+        return None
+
+
+def t1_decode(t, code):
+    if t["std"]:
+        return STANDARD_ENC.get(code)
+    name = t["names"].get(code)
+    if name is None:
+        return None
+    s = glyph_char(name)
+    if s and s != "�":
+        return s
+    return None
+
+
 def parse_font(fd, resolve, decoded):
     sub = fd.get("Subtype")
     sub = resolve(sub)[1] if sub else ""
@@ -629,7 +679,7 @@ def parse_font(fd, resolve, decoded):
     if "Widths" in fd:
         for i, wv in enumerate(resolve(fd["Widths"])[1]):
             widths[first + i] = float(resolve(wv)[1])
-    ttf = cff = None
+    ttf = cff = t1 = None
     if "FontDescriptor" in fd:
         desc = resolve(fd["FontDescriptor"])[1]
         if "FontFile2" in desc:
@@ -639,13 +689,18 @@ def parse_font(fd, resolve, decoded):
                 ttf = None
         if ttf is None and "FontFile3" in desc:
             # CFF/Type1C sibling; a parsed FontFile2 wins (mirror of
-            # graft.extract.PdfText parseFont's orElse)
+            # graft.extract.PdfText parseFont's orElse chain)
             try:
                 cff = parse_cff(decoded(desc["FontFile3"]))
             except Exception:
                 cff = None
+        if ttf is None and cff is None and "FontFile" in desc:
+            try:
+                t1 = parse_type1(decoded(desc["FontFile"]))
+            except Exception:
+                t1 = None
     return {"two": False, "touni": touni, "enc": enc, "w": widths,
-            "dw": 500.0, "ttf": ttf, "cff": cff}
+            "dw": 500.0, "ttf": ttf, "cff": cff, "t1": t1}
 
 
 def fdecode(f, code):
@@ -659,6 +714,10 @@ def fdecode(f, code):
             return s
     if not f["two"] and f.get("cff"):
         s = cff_decode(f["cff"], code)
+        if s is not None:
+            return s
+    if not f["two"] and f.get("t1"):
+        s = t1_decode(f["t1"], code)
         if s is not None:
             return s
     if not f["two"] and 32 <= code < 127:
