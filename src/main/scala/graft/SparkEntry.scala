@@ -821,6 +821,40 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_ipynb" -> ((s, dir) => {
+      // Jupyter notebooks through the REAL ingestion route: nbformat-4
+      // JSON with a markdown cell, a python code cell (stream +
+      // execute_result outputs), and — on ids % 3 == 0 — an error output
+      // whose traceback carries real JSON-escaped ANSI color codes that
+      // the extractor must strip
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val escJ = "\\" + "u001b" // JSON escape for ESC, as notebooks carry it
+          val err =
+            if (id % 3 == 0)
+              s""",{"output_type":"error","ename":"ValueError","evalue":"bad ${id % 4}",
+                 |   "traceback":["${escJ}[0;31mValueError${escJ}[0m: bad ${id % 4}"]}""".stripMargin
+            else ""
+          val json =
+            s"""{"nbformat":4,"nbformat_minor":5,
+               |  "metadata":{"language_info":{"name":"python"}},
+               |  "cells":[
+               |   {"cell_type":"markdown",
+               |    "source":["# Notebook ${id % 7}\\n","\\n","Analysis of run ${(id * 3) % 11}."]},
+               |   {"cell_type":"code",
+               |    "source":["x = ${id % 9}\\n","print(x * 2)"],
+               |    "outputs":[
+               |     {"output_type":"stream","name":"stdout","text":["${(id % 9) * 2}\\n"]},
+               |     {"output_type":"execute_result","data":{"text/plain":["${id % 5}"]}}$err]}]}""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.ipynb", json.getBytes("UTF-8")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "page_count", "n_spans", "text_all")
+    }),
     "q_rst" -> ((s, dir) => {
       // rST through the REAL ingestion route: section underlines become
       // docutils-leveled headings, a literal block fences, inline
@@ -1668,6 +1702,23 @@ object SparkEntry {
         |  '|k' || (doc_id % 5) || '|' || (doc_id % 7) || '|' || chr(10) ||
         |  '## Extra' || chr(10) ||
         |  '|x' || (doc_id % 3) || '|' || chr(10) || '|---|' AS text_all
+        |FROM documents""".stripMargin,
+    "q_ipynb" ->
+      // markdown cell → 2 blocks; code fence, stream fence, result fence;
+      // ids % 3 == 0 add an ANSI-stripped error fence
+      """SELECT doc_id, 'application/x-ipynb+json' AS mime_type,
+        |  CAST(1 AS INT) AS page_count,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 5 END AS INT) AS n_spans,
+        |  '# Notebook ' || (doc_id % 7) || chr(10) ||
+        |  'Analysis of run ' || ((doc_id * 3) % 11) || '.' || chr(10) ||
+        |  '```python' || chr(10) || 'x = ' || (doc_id % 9) || chr(10) ||
+        |    'print(x * 2)' || chr(10) || '```' || chr(10) ||
+        |  '```' || chr(10) || ((doc_id % 9) * 2) || chr(10) || '```' || chr(10) ||
+        |  '```' || chr(10) || (doc_id % 5) || chr(10) || '```' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || '```' || chr(10) ||
+        |    'ValueError: bad ' || (doc_id % 4) || chr(10) ||
+        |    'ValueError: bad ' || (doc_id % 4) || chr(10) || '```'
+        |  ELSE '' END AS text_all
         |FROM documents""".stripMargin,
     "q_rst" ->
       // docutils-leveled headings ('='->1, '-'->2 by first appearance),

@@ -309,6 +309,12 @@ object Ingest {
         RawDoc(relPath, "rst", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
+      case "application/x-ipynb+json" =>
+        // Jupyter notebook (Pipeline routes through IpynbExtract; in the
+        // reference's pandoc surface, mime_types.py:93,164)
+        RawDoc(relPath, "ipynb", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "application/pdf" =>
         // container-level PDF route (Pipeline.extractPdfOne): Latin-1
         // round-trips the binary payload through RawDoc's text column

@@ -94,6 +94,11 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.RstExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "ipynb" =>
+          // Jupyter notebook JSON → markdown (cells + fenced outputs)
+          val n = Normalize.dialect("md_plain",
+            graft.extract.IpynbExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case "csv" | "tsv" =>
           // RFC 4180 delimited text → one pipe table (spreadsheet shape)
           val md = graft.extract.CsvExtract.toTableMd(
