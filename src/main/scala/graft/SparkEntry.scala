@@ -821,6 +821,72 @@ object SparkEntry {
         }
         .toDF("doc_id", "title", "page_count", "n_spans", "text_all")
     }),
+    "q_bib" -> ((s, dir) => {
+      // BibTeX through the REAL ingestion route: brace/quote/bare field
+      // forms, author list, case-protection braces — all arithmetic
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val bib =
+            s"""@article{ref${id % 10}a,
+               |  author = {Author ${id % 4} and Coauthor ${(id * 3) % 5}},
+               |  title = {Study ${(id * 7) % 12} of {Things}},
+               |  journal = {Journal ${id % 3}},
+               |  year = ${1990 + (id % 30)}
+               |}
+               |@misc{ref${id % 10}b, title = "Note ${(id + 2) % 6}"}
+               |""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.bib", bib.getBytes("UTF-8")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "text_all")
+    }),
+    "q_tex" -> ((s, dir) => {
+      // LaTeX through the REAL ingestion route: title/maketitle, section,
+      // inline styles, itemize, figure (interleaved IMAGE span + caption),
+      // tabular → pipe table, inline math passthrough — all arithmetic
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val tex =
+            raw"""\documentclass{article}
+                 |\title{Paper ${id % 6}}
+                 |\begin{document}
+                 |\maketitle
+                 |\section{Intro ${id % 4}}
+                 |Result is \textbf{${id % 8}} with \emph{margin} ${(id * 5) % 9}.
+                 |
+                 |\begin{itemize}
+                 |\item alpha ${id % 3}
+                 |\item beta ${(id + 1) % 3}
+                 |\end{itemize}
+                 |
+                 |\begin{figure}
+                 |\includegraphics{fig-${id % 2}.png}
+                 |\caption{Curve ${id % 7}}
+                 |\end{figure}
+                 |
+                 |\begin{tabular}{lr}
+                 |k & v \\
+                 |a & ${id % 5} \\
+                 |\end{tabular}
+                 |
+                 |Math $$x^{${id % 3}}$$ inline.
+                 |\end{document}
+                 |""".stripMargin // NB: $$ in the interpolator renders a single $
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.tex", tex.getBytes("UTF-8")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.map(_.kind).mkString(","),
+            out.spans.filter(_.kind == "image").map(_.media_ref).mkString(","),
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "kinds", "media_refs", "text_all")
+    }),
     "q_ipynb" -> ((s, dir) => {
       // Jupyter notebooks through the REAL ingestion route: nbformat-4
       // JSON with a markdown cell, a python code cell (stream +
@@ -1702,6 +1768,35 @@ object SparkEntry {
         |  '|k' || (doc_id % 5) || '|' || (doc_id % 7) || '|' || chr(10) ||
         |  '## Extra' || chr(10) ||
         |  '|x' || (doc_id % 3) || '|' || chr(10) || '|---|' AS text_all
+        |FROM documents""".stripMargin,
+    "q_bib" ->
+      // two entries → one list block (1 span); case braces strip
+      """SELECT doc_id, 'application/x-bibtex' AS mime_type,
+        |  CAST(1 AS INT) AS n_spans,
+        |  '- **ref' || (doc_id % 10) || 'a** (article): Author ' ||
+        |    (doc_id % 4) || ', Coauthor ' || ((doc_id * 3) % 5) || ' (' ||
+        |    (1990 + (doc_id % 30)) || '). *Study ' || ((doc_id * 7) % 12) ||
+        |    ' of Things*. Journal ' || (doc_id % 3) || '.' || chr(10) ||
+        |  '- **ref' || (doc_id % 10) || 'b** (misc): *Note ' ||
+        |    ((doc_id + 2) % 6) || '*.' AS text_all
+        |FROM documents""".stripMargin,
+    "q_tex" ->
+      // 8 spans: maketitle-#, section-#, styled para, list block,
+      // IMAGE (kind only), caption para, pipe table, math para
+      """SELECT doc_id, 'application/x-latex' AS mime_type,
+        |  CAST(8 AS INT) AS n_spans,
+        |  'text,text,text,text,image,text,text,text' AS kinds,
+        |  'fig-' || (doc_id % 2) || '.png' AS media_refs,
+        |  '# Paper ' || (doc_id % 6) || chr(10) ||
+        |  '# Intro ' || (doc_id % 4) || chr(10) ||
+        |  'Result is **' || (doc_id % 8) || '** with *margin* ' ||
+        |    ((doc_id * 5) % 9) || '.' || chr(10) ||
+        |  '- alpha ' || (doc_id % 3) || chr(10) ||
+        |  '- beta ' || ((doc_id + 1) % 3) || chr(10) ||
+        |  'Curve ' || (doc_id % 7) || chr(10) ||
+        |  '|k|v|' || chr(10) || '|---|---|' || chr(10) ||
+        |  '|a|' || (doc_id % 5) || '|' || chr(10) ||
+        |  'Math $x^{' || (doc_id % 3) || '}$ inline.' AS text_all
         |FROM documents""".stripMargin,
     "q_ipynb" ->
       // markdown cell → 2 blocks; code fence, stream fence, result fence;

@@ -309,6 +309,18 @@ object Ingest {
         RawDoc(relPath, "rst", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
+      case "application/x-bibtex" =>
+        // BibTeX dialect (Pipeline routes through BibtexExtract; in the
+        // reference's pandoc surface, mime_types.py:91,163)
+        RawDoc(relPath, "bibtex", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "application/x-latex" =>
+        // LaTeX dialect (Pipeline routes through LatexExtract; in the
+        // reference's pandoc surface, mime_types.py:97,165)
+        RawDoc(relPath, "latex", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "application/x-ipynb+json" =>
         // Jupyter notebook (Pipeline routes through IpynbExtract; in the
         // reference's pandoc surface, mime_types.py:93,164)

@@ -94,6 +94,16 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.RstExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "bibtex" =>
+          // BibTeX entries → one markdown reference-list block
+          val n = Normalize.dialect("md_plain",
+            graft.extract.BibtexExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "latex" =>
+          // LaTeX subset → markdown (headings, lists, verbatim, tabular)
+          val n = Normalize.dialect("md_plain",
+            graft.extract.LatexExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case "ipynb" =>
           // Jupyter notebook JSON → markdown (cells + fenced outputs)
           val n = Normalize.dialect("md_plain",
