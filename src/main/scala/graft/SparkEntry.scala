@@ -597,12 +597,12 @@ object SparkEntry {
       // literal-Tj / hex-Tj / kerned-TJ show forms, Helvetica+WinAnsi) →
       // full content-stream interpretation (BT/ET, Td, font decode, line
       // assembly) → per-page text whose every character the oracle
-      // reproduces arithmetically. EMBEDDED-FONT slices: id%8∈{1,7} builds
+      // reproduces arithmetically. EMBEDDED-FONT slices: id%8==1 builds
       // the subsetted-TrueType shape (codes meaningless without the font's
-      // cmap+post; no /Encoding, no /ToUnicode), id%8∈{3} the
-      // (3,1)-format-4 inverse-Unicode shape, id%8∈{5} the CFF/Type1C
+      // cmap+post; no /Encoding, no /ToUnicode), id%8==3 the
+      // (3,1)-format-4 inverse-Unicode shape, id%8==5 the CFF/Type1C
       // shape (/FontFile3: encoding → charset → SID name → AGL), and
-      // id%8∈{7} the original Type1 shape (/FontFile: cleartext dup-put
+      // id%8==7 the original Type1 shape (/FontFile: cleartext dup-put
       // encoding) — same text, so the oracle is unchanged, but decode MUST
       // run the embedded chains. The REAL-world path is golden-locked in
       // PdfTextSpec against the reference fixtures via the independent

@@ -102,8 +102,17 @@ object BibtexExtract {
             if (close > k) (body.substring(k + 1, close), close + 1)
             else (body.substring(k + 1), body.length)
           } else if (k < body.length && body.charAt(k) == '"') {
-            val close = body.indexOf('"', k + 1)
-            if (close > k) (body.substring(k + 1, close), close + 1)
+            // BibTeX's brace-protected-quote idiom: a `"` at brace depth
+            // > 0 (e.g. {"} inside the value) does not close the field
+            var e = k + 1
+            var depth = 0
+            while (e < body.length && !(depth == 0 && body.charAt(e) == '"')) {
+              val ch = body.charAt(e)
+              if (ch == '{') depth += 1
+              else if (ch == '}') depth = math.max(0, depth - 1)
+              e += 1
+            }
+            if (e < body.length) (body.substring(k + 1, e), e + 1)
             else (body.substring(k + 1), body.length)
           } else {
             var e = k

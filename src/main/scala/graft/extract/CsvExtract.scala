@@ -23,11 +23,15 @@ object CsvExtract {
     var i = 0
     var quoted = false
     var sawAny = false
+    var rowSyntax = false // the row carried a delimiter or quote
     def endCell(): Unit = { row += cell.toString; cell.clear() }
     def endRow(): Unit = {
       endCell()
-      if (row.exists(_.nonEmpty)) rows += row.toSeq
+      // suppress blank LINES only: a record like `,,` or `""` is a valid
+      // RFC 4180 data row of empty fields and must survive
+      if (rowSyntax || row.exists(_.nonEmpty)) rows += row.toSeq
       row.clear()
+      rowSyntax = false
     }
     while (i < text.length) {
       val c = text.charAt(i)
@@ -37,8 +41,8 @@ object CsvExtract {
           else quoted = false
         } else cell += c
       } else c match {
-        case '"' if cell.isEmpty => quoted = true; sawAny = true
-        case `delimiter` => endCell(); sawAny = true
+        case '"' if cell.isEmpty => quoted = true; sawAny = true; rowSyntax = true
+        case `delimiter` => endCell(); sawAny = true; rowSyntax = true
         case '\r' =>
           if (i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1
           endRow()

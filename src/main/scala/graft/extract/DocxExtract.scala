@@ -308,11 +308,22 @@ object DocxExtract {
     blocks.toSeq
   }
 
-  /** MarkItDown's pipe-table shape: header row, `|---|` separator, body. */
+  /** MarkItDown's pipe-table shape: header row, `|---|` separator, body.
+    * Cell text that would break the table structure is escaped: `|` as
+    * `\|`, embedded newlines as `<br>` (the common markdown-table
+    * convention) — otherwise a cell containing either (RFC 4180 quoting,
+    * spreadsheet strings) shifts every following column or row.
+    */
   private[extract] def tableMd(rows: Seq[Seq[String]]): String = {
     val ncols = rows.map(_.length).max
+    def cellMd(c: String): String = {
+      val noPipe = if (c.indexOf('|') >= 0) c.replace("|", "\\|") else c
+      if (noPipe.indexOf('\n') >= 0 || noPipe.indexOf('\r') >= 0)
+        noPipe.replace("\r\n", "<br>").replace("\n", "<br>").replace("\r", "<br>")
+      else noPipe
+    }
     def rowMd(cells: Seq[String]): String =
-      (cells ++ Seq.fill(ncols - cells.length)("")).mkString("|", "|", "|")
+      (cells.map(cellMd) ++ Seq.fill(ncols - cells.length)("")).mkString("|", "|", "|")
     (rowMd(rows.head) +: ("|" + "---|" * ncols) +: rows.tail.map(rowMd)).mkString("\n")
   }
 

@@ -94,7 +94,7 @@ object IpynbExtract {
       case "execute_result" | "display_data" =>
         val data = out.get("data")
         if (data != null && data.has("text/plain")) strip(text(data.get("text/plain")))
-        else ""
+        else strip(text(out.get("text"))) // nbformat 3 keeps it under "text"
       case "pyout" => // nbformat 3 execute result
         strip(text(out.get("text")))
       case "error" | "pyerr" =>

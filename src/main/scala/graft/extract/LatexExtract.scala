@@ -137,9 +137,9 @@ object LatexExtract {
 
   // ---------------------------------------------------------------- blocks
 
-  private val HeadingRe =
-    """\\(part|chapter|section|subsection|subsubsection|paragraph)\*?\s*\{""".r
-  private val BeginRe = """\\begin\{([A-Za-z*]+)\}""".r
+  private val HeadingPat = java.util.regex.Pattern.compile(
+    """\\(part|chapter|section|subsection|subsubsection|paragraph)\*?\s*\{""")
+  private val BeginPat = java.util.regex.Pattern.compile("""\\begin\{([A-Za-z*]+)\}""")
 
   private def blocks(body: String, lv: Map[String, Int], title: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
@@ -151,27 +151,28 @@ object LatexExtract {
     }
     var i = 0
     val s = body
+    // region-based prefix matching: a substring copy of the tail at every
+    // backslash would make block scanning quadratic in document size
+    val hmM = HeadingPat.matcher(s)
+    val bmM = BeginPat.matcher(s)
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\n' && i + 1 < s.length && blankLineAt(s, i)) {
         flush()
         while (i < s.length && s.charAt(i).isWhitespace) i += 1
       } else if (c == '\\') {
-        val hm = HeadingRe.findPrefixMatchOf(s.substring(i))
-        val bm = BeginRe.findPrefixMatchOf(s.substring(i))
-        if (hm.isDefined) {
+        hmM.region(i, s.length)
+        if (hmM.lookingAt()) {
           flush()
-          val m = hm.get
-          val open = i + m.end - 1
+          val open = hmM.end - 1
           val close = matchBrace(s, open)
           val text = if (close > open) s.substring(open + 1, close) else ""
-          out += ("#" * lv(m.group(1))) + " " + inline(text, lv)
+          out += ("#" * lv(hmM.group(1))) + " " + inline(text, lv)
           i = if (close > open) close + 1 else open + 1
-        } else if (bm.isDefined) {
+        } else if ({ bmM.region(i, s.length); bmM.lookingAt() }) {
           flush()
-          val m = bm.get
-          val env = m.group(1)
-          val (content, next) = envContent(s, env, i + m.end)
+          val env = bmM.group(1)
+          val (content, next) = envContent(s, env, bmM.end)
           out ++= envBlocks(env, content, lv)
           i = next
         } else if (s.startsWith("\\maketitle", i)) {
@@ -219,7 +220,8 @@ object LatexExtract {
         }
         val rows = afterSpec.split("""\\\\""").toSeq
           .map(_.replace("\\hline", "").trim).filter(_.nonEmpty)
-          .map(_.split("&").toSeq.map(c => inline(c, lv).trim))
+          // cells split on bare & only — \& is the escaped literal ampersand
+          .map(_.split("""(?<!\\)&""").toSeq.map(c => inline(c, lv).trim))
         if (rows.isEmpty) Nil
         else {
           val header = rows.head.mkString("|", "|", "|")

@@ -177,10 +177,14 @@ object XlsExtract {
       val cbExt = if (ext) rd32().toInt else 0
       val sb = new StringBuilder(cch)
       var left = cch
+      // segment the header ended in: char data that begins at the start of
+      // a LATER segment (even with zero chars consumed yet) is a spill and
+      // re-declares its grbit ([MS-XLS] 2.5.293)
+      val headerSeg = si
       while (left > 0) {
         hop()
         if (sp == segs(si)._2) throw new IllegalStateException("SST truncated")
-        if (sp == segs(si)._1 && sb.nonEmpty)
+        if (sp == segs(si)._1 && si > headerSeg)
           high = (u8() & 0x01) != 0 // spill: fresh grbit for the char data
         val unit = if (high) 2 else 1
         val fit = math.min(left, (segs(si)._2 - sp) / unit)
@@ -271,11 +275,13 @@ object XlsExtract {
     }
     if (open) throw new IllegalStateException("worksheet substream missing EOF")
     if (cells.isEmpty) return ""
-    val rowIds = cells.keys.map(_._1).toSeq.distinct.sorted
-    val grid = rowIds.map { r =>
-      val cols = cells.keys.collect { case (`r`, c) => c }
-      val maxC = cols.max
-      (0 to maxC).map(c => cells.getOrElse((r, c), ""))
+    // one O(cells) grouping pass — rebuilding the column set per row would
+    // make grid assembly O(rows × cells) on wide real-world sheets
+    val byRow = cells.groupBy(_._1._1)
+    val grid = byRow.keys.toSeq.sorted.map { r =>
+      val rowCells = byRow(r)
+      val maxC = rowCells.keysIterator.map(_._2).max
+      (0 to maxC).map(c => rowCells.getOrElse((r, c), ""))
     }
     DocxExtract.tableMd(grid)
   }
@@ -286,10 +292,13 @@ object XlsExtract {
     * Strings go through a real SST (first-appearance order); integers as
     * RK, doubles as Number, booleans as BoolErr. `continueSplit` forces
     * the SST to spill into a Continue record after the first string (grbit
-    * re-declared), exercising the spill path the spec allows at any size.
+    * re-declared), exercising the spill path the spec allows at any size;
+    * `continueAtStart` places the split BEFORE the second string's first
+    * character (header last in the SST record, all chars in the Continue) —
+    * the boundary layout [MS-XLS] 2.5.293 also allows.
     */
   def buildXls(title: String, sheets: Seq[(String, Seq[Seq[XlsCell]])],
-      continueSplit: Boolean = false): Array[Byte] = {
+      continueSplit: Boolean = false, continueAtStart: Boolean = false): Array[Byte] = {
     require(sheets.nonEmpty, "at least one sheet")
     def rec(t: Int, body: Array[Byte]): Array[Byte] = {
       require(body.length <= 8224, "record body over BIFF8 cap")
@@ -336,14 +345,14 @@ object XlsExtract {
     }
     val sstStrings = sstIndex.keys.toSeq
     val sstRecs: Array[Byte] =
-      if (continueSplit && sstStrings.size >= 2) {
+      if ((continueSplit || continueAtStart) && sstStrings.size >= 2) {
         // first string (and its header) in the SST record; the SECOND
         // string's characters split mid-string into a Continue that
         // re-declares the grbit — the [MS-XLS] 2.5.293 spill shape
         val s2 = sstStrings(1)
         require(s2.length >= 2, "continueSplit needs a 2nd string of 2+ chars")
         val ascii2 = s2.forall(c => c >= ' ' && c < 0x7f)
-        val halfN = s2.length / 2
+        val halfN = if (continueAtStart) 0 else s2.length / 2
         val (part1, part2) = s2.splitAt(halfN)
         def chars(t: String): Array[Byte] =
           if (ascii2) t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)

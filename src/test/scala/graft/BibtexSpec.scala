@@ -39,6 +39,12 @@ class BibtexSpec extends AnyFunSuite {
       "- **only-key** (misc)\n- **titled** (misc): *Just a Title*.")
   }
 
+  test("brace-protected quotes inside a quoted value do not close it") {
+    val bib = """@article{k, title = "The {"}quoted{"} word", year = 1999}"""
+    assert(BibtexExtract.toMarkdown(bib) ==
+      "- **k** (article): (1999). *The \"quoted\" word*.")
+  }
+
   test("real ingestion route: .bib → one list span; empty file → failure row") {
     val bib = "@book{b1, author = {A. Author}, year = {2001}}"
     val out = graft.pipeline.Pipeline.extractOne(

@@ -68,6 +68,16 @@ class IpynbSpec extends AnyFunSuite {
     assert(md == "## Old style\n\n```python\ny = 2\n```\n\n```\n2\n```\n\n```\nE: v\n```")
   }
 
+  test("v3: display_data carries its text under 'text', not 'data'") {
+    val json =
+      """{"nbformat":3,"metadata":{"language":"python"},"worksheets":[{"cells":[
+        |  {"cell_type":"code","input":["plot(x)"],"outputs":[
+        |    {"output_type":"display_data","text":["<figure repr>"]}]}
+        |]}]}""".stripMargin
+    val md = IpynbExtract.toMarkdown(json)
+    assert(md == "```python\nplot(x)\n```\n\n```\n<figure repr>\n```")
+  }
+
   test("real ingestion route: .ipynb → spans; malformed JSON → failure row") {
     val json = nb4(
       """{"cell_type":"markdown","source":"# H\n\npara"},

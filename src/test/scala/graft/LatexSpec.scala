@@ -98,6 +98,12 @@ class LatexSpec extends AnyFunSuite {
     assert(md.contains("The plot"))
   }
 
+  test("tabular: escaped \\& is a literal ampersand, not a cell split") {
+    val md = LatexExtract.toMarkdown(
+      """\begin{tabular}{ll} A \& B & 1 \\ x & 2 \\ \end{tabular}""")
+    assert(md == "|A & B|1|\n|---|---|\n|x|2|")
+  }
+
   test("inline math passes through; unknown commands unwrap or drop") {
     val md = LatexExtract.toMarkdown(
       "The value $a_1 + b^2$ and \\mbox{boxed text} plus \\noindent rest.")

@@ -38,8 +38,12 @@ class XlsCsvSpec extends AnyFunSuite {
         Seq[XlsExtract.XlsCell](XlsStr("third")))))
       val split = XlsExtract.buildXls("t", sheets, continueSplit = true)
       val whole = XlsExtract.buildXls("t", sheets)
+      // char data starting EXACTLY at the Continue boundary (header last
+      // in the SST record) also re-declares the grbit there
+      val atStart = XlsExtract.buildXls("t", sheets, continueAtStart = true)
       assert(!split.sameElements(whole)) // the spill actually happened
-      for (b <- Seq(split, whole)) {
+      assert(!atStart.sameElements(split))
+      for (b <- Seq(split, whole, atStart)) {
         val doc = XlsExtract.extract(b).fold(e => fail(e), identity)
         assert(doc.sheets.head.tableMd ==
           s"|first|\n|---|\n|$second|\n|third|")
@@ -136,10 +140,23 @@ class XlsCsvSpec extends AnyFunSuite {
   }
 
   test("csv quoted embedded newline and empty input") {
+    // a quoted newline must not split the table row: it renders as <br>
     assert(CsvExtract.toTableMd("h1,h2\n\"line1\nline2\",v\n", ',') ==
-      "|h1|h2|\n|---|---|\n|line1\nline2|v|")
+      "|h1|h2|\n|---|---|\n|line1<br>line2|v|")
     assert(CsvExtract.toTableMd("", ',') == "")
     assert(CsvExtract.toTableMd("\n\n", ',') == "")
+  }
+
+  test("csv cells with pipes escape; all-empty records survive") {
+    // '|' in a cell would shift every later column without the escape
+    assert(CsvExtract.toTableMd("name,note\nwidget,\"good | cheap\"\n", ',') ==
+      "|name|note|\n|---|---|\n|widget|good \\| cheap|")
+    // `,,` is a valid RFC 4180 record of empty fields, not a blank line
+    assert(CsvExtract.toTableMd("a,b,c\n,,\nd,e,f\n", ',') ==
+      "|a|b|c|\n|---|---|---|\n||||\n|d|e|f|")
+    // a single quoted-empty field is a data row too; bare blank lines drop
+    assert(CsvExtract.toTableMd("h\n\"\"\n\nx\n", ',') ==
+      "|h|\n|---|\n||\n|x|")
   }
 
   test("tsv through the REAL ingestion route (quotes stay literal mid-cell)") {
