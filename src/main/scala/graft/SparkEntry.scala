@@ -947,6 +947,35 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_count", "n_spans", "text_all")
     }),
+    "q_org" -> ((s, dir) => {
+      // org-mode through the REAL ingestion route: #+TITLE keyword, star
+      // headline with *bold* inline, an org table whose |---+---| rule
+      // becomes the separator, and a #+BEGIN_SRC fence — arithmetic in
+      // doc_id
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val org =
+            s"""#+TITLE: Notes ${id % 5}
+               |
+               |* Section ${(id * 2) % 9} with *bold* text
+               |
+               || k | v |
+               ||---+---|
+               || a | ${id % 7} |
+               |
+               |#+BEGIN_SRC scala
+               |val n = ${id % 4}
+               |#+END_SRC
+               |""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.org", org.getBytes("UTF-8")))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.page_count, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "page_count", "n_spans", "text_all")
+    }),
     "q_xls" -> ((s, dir) => {
       // legacy Excel binary through the REAL ingestion route: CFB +
       // [MS-XLS] BIFF8 — SST strings (Continue-spilled on even ids),
@@ -1824,6 +1853,18 @@ object SparkEntry {
         |  'Body paragraph ' || ((doc_id * 2) % 9) || ' with `code` inline' || chr(10) ||
         |  '## Sub ' || (doc_id % 3) || chr(10) ||
         |  'Closing words ' || ((doc_id + 4) % 6) AS text_all
+        |FROM documents""".stripMargin,
+    "q_org" ->
+      // 4 text spans: title heading, section heading (bold doubled),
+      // pipe table (rule → separator), scala fence
+      """SELECT doc_id,
+        |  CAST(1 AS INT) AS page_count, CAST(4 AS INT) AS n_spans,
+        |  '# Notes ' || (doc_id % 5) || chr(10) ||
+        |  '# Section ' || ((doc_id * 2) % 9) || ' with **bold** text' || chr(10) ||
+        |  '|k|v|' || chr(10) || '|---|---|' || chr(10) ||
+        |  '|a|' || (doc_id % 7) || '|' || chr(10) ||
+        |  '```scala' || chr(10) || 'val n = ' || (doc_id % 4) || chr(10) ||
+        |  '```' AS text_all
         |FROM documents""".stripMargin,
     "q_xls" ->
       // two sheets: page_break + '## name' + pipe table each; RK ints may

@@ -301,9 +301,15 @@ object Ingest {
         RawDoc(relPath, "html", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
-      case "text/markdown" | "text/plain" | "text/x-org" =>
+      case "text/markdown" | "text/plain" =>
         val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         RawDoc(relPath, detectDialect(text), mime, text, Nil, Nil, source_path = relPath)
+      case "text/x-org" =>
+        // structural org-mode dialect (Pipeline routes through OrgExtract;
+        // reference surface mime_types.py:109,157)
+        RawDoc(relPath, "org", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "text/x-rst" =>
         // structural rST dialect (Pipeline routes through RstExtract)
         RawDoc(relPath, "rst", mime,

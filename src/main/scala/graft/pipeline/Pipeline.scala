@@ -94,6 +94,11 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.RstExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "org" =>
+          // structural org-mode → markdown (headlines, blocks, tables)
+          val n = Normalize.dialect("md_plain",
+            graft.extract.OrgExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case "bibtex" =>
           // BibTeX entries → one markdown reference-list block
           val n = Normalize.dialect("md_plain",
