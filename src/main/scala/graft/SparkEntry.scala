@@ -977,10 +977,14 @@ object SparkEntry {
         .toDF("doc_id", "page_count", "n_spans", "text_all")
     }),
     "q_xls" -> ((s, dir) => {
-      // legacy Excel binary through the REAL ingestion route: CFB +
-      // [MS-XLS] BIFF8 — SST strings (Continue-spilled on even ids),
-      // RK integers (negative range), Number doubles (integral and
-      // fractional), two sheets; title from SummaryInformation
+      // the FULL Excel container family through the REAL ingestion route,
+      // same cells and title in each so one oracle gates all four:
+      // id%4==0 .xls ([MS-XLS] BIFF8, SST Continue-spilled mid-string),
+      // id%4==1 .xlsb ([MS-XLSB] BIFF12 records in the OOXML ZIP),
+      // id%4==2 .xlam (XLSX ZIP container, addin MIME),
+      // id%4==3 .xla (BIFF8 again, SST spilled AT the char-data boundary).
+      // RK integers (negative range), doubles (integral and fractional),
+      // two sheets; title from SummaryInformation / core.xml
       import s.implicits._
       import graft.extract.XlsExtract
       import graft.extract.XlsExtract.{XlsNum, XlsRkInt, XlsStr}
@@ -995,10 +999,21 @@ object SparkEntry {
                 XlsRkInt((id % 9).toInt), XlsNum((id % 3).toDouble)))),
             ("Notes", Seq(
               Seq[XlsExtract.XlsCell](XlsStr(s"nöte ${(id * 3) % 11}")))))
-          val bytes = XlsExtract.buildXls(s"Ledger $id", sheets,
-            continueSplit = id % 2 == 0)
+          val title = s"Ledger $id"
+          val (ext, bytes) = (id % 4) match {
+            case 0 => ("xls", XlsExtract.buildXls(title, sheets, continueSplit = true))
+            case 1 => ("xlsb", graft.extract.XlsbExtract.buildXlsb(title, sheets))
+            case 2 => ("xlam", graft.extract.OfficeExtract.buildXlsx(title,
+              sheets.map { case (n, rows) => (n, rows.map(_.map {
+                case XlsStr(v) => v
+                case XlsRkInt(v) => v.toString
+                case XlsNum(v) => XlsExtract.numText(v)
+                case XlsExtract.XlsBool(v) => if (v) "TRUE" else "FALSE"
+              })) }))
+            case _ => ("xla", XlsExtract.buildXls(title, sheets, continueAtStart = true))
+          }
           val out = graft.pipeline.Pipeline.extractOne(
-            graft.io.Ingest.toRawDoc(s"d$id.xls", bytes))
+            graft.io.Ingest.toRawDoc(s"d$id.$ext", bytes))
           require(out.failure.isEmpty, out.failure)
           (id, out.title, out.page_count, out.spans.size,
             out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))

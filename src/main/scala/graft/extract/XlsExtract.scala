@@ -60,12 +60,15 @@ object XlsExtract {
   private val RecString = 0x0207
 
   /** XLSX `<v>`-convention number text: integral values without ".0". */
-  private[extract] def numText(d: Double): String =
+  private[graft] def numText(d: Double): String =
     if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
-  /** rk: bit0 = ÷100, bit1 = 30-bit signed int (else high-30 double bits). */
-  private def rkValue(rk: Long): Double = {
+  /** rk: bit0 = ÷100, bit1 = 30-bit signed int (else high-30 double bits).
+    * Shared with [[XlsbExtract]] — [MS-XLSB] RkNumber (2.5.122) keeps the
+    * BIFF8 encoding bit-for-bit.
+    */
+  private[extract] def rkValue(rk: Long): Double = {
     val base =
       if ((rk & 0x2L) != 0) (rk.toInt >> 2).toDouble
       else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)

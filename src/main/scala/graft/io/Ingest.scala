@@ -382,12 +382,24 @@ object Ingest {
         RawDoc(relPath, "xls_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
-      case "application/vnd.ms-excel.sheet.macroEnabled.12" =>
-        // .xlsm is the XLSX ZIP container plus a vbaProject part the
-        // sheet parser never opens (reference EXCEL_MACRO_MIME_TYPE,
-        // mime_types.py:21) — same route; .xlsb (BIFF12 binary parts)
-        // stays an unsupported failure row
+      case "application/vnd.ms-excel.sheet.macroEnabled.12" |
+           "application/vnd.ms-excel.addin.macroEnabled.12" =>
+        // .xlsm and .xlam are the XLSX ZIP container plus a vbaProject
+        // part the sheet parser never opens (reference EXCEL_MACRO /
+        // EXCEL_ADDON mime_types.py:21,23) — same route
         RawDoc(relPath, "xlsx_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/vnd.ms-excel.sheet.binary.macroEnabled.12" =>
+        // .xlsb: [MS-XLSB] BIFF12 records inside the OOXML ZIP
+        // (reference EXCEL_BINARY_2007, mime_types.py:22)
+        RawDoc(relPath, "xlsb_bytes", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
+          source_path = relPath)
+      case "application/vnd.ms-excel.template.macroEnabled.12" =>
+        // .xla: the 97-2003 add-in is a CFB/BIFF8 workbook (reference
+        // EXCEL_TEMPLATE, mime_types.py:23) — legacy BIFF8 route
+        RawDoc(relPath, "xls_bytes", mime,
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), Nil, Nil,
           source_path = relPath)
       case "text/csv" | "text/tab-separated-values" =>

@@ -84,6 +84,7 @@ object Pipeline {
       if (r.payload_kind == "ppt_bytes") return extractPptOne(r)
       if (r.payload_kind == "ods_bytes") return extractOdsOne(r)
       if (r.payload_kind == "xls_bytes") return extractXlsOne(r)
+      if (r.payload_kind == "xlsb_bytes") return extractXlsbOne(r)
       val (spans, images, convTitle) = r.payload_kind match {
         case "html" =>
           val e = HtmlExtract.extract(r.raw); (e.spans, e.images, e.title)
@@ -318,6 +319,22 @@ object Pipeline {
           title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
           source_path = r.source_path, media = Nil,
           metadata = Map("xls_sheets" -> doc.sheets.size.toString))
+      case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
+    }
+  }
+
+  /** Excel Binary 2007 extraction ([[graft.extract.XlsbExtract]]):
+    * [MS-XLSB] BIFF12 records in the OOXML ZIP → the XLSX sheet shape.
+    */
+  private def extractXlsbOne(r: RawDoc): ExtractOut = {
+    val bytes = r.raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    graft.extract.XlsbExtract.extract(bytes) match {
+      case Right(doc) =>
+        val spans = graft.extract.OfficeExtract.xlsxSpans(doc)
+        ExtractOut(r.doc_id, spans, r.mime_type, doc.sheets.size, "",
+          title = if (doc.title.nonEmpty) doc.title else stemOf(r.source_path),
+          source_path = r.source_path, media = Nil,
+          metadata = Map("xlsb_sheets" -> doc.sheets.size.toString))
       case Left(err) => ExtractOut(r.doc_id, Nil, r.mime_type, 0, err)
     }
   }

@@ -132,6 +132,53 @@ class XlsCsvSpec extends AnyFunSuite {
     assert(out.spans.exists(_.text == "|h|\n|---|\n|v|"))
   }
 
+  // ------------------------------------------------------------ .xlsb
+  test(".xlsb round-trip: BIFF12 records, SST, RK/Real/Bool, two sheets") {
+    val sheets = Seq(
+      ("Data", Seq(
+        Seq[XlsExtract.XlsCell](XlsStr("Name"), XlsStr("Qty"), XlsStr("Price")),
+        Seq[XlsExtract.XlsCell](XlsStr("alpha"), XlsRkInt(-7), XlsNum(2.5)),
+        Seq[XlsExtract.XlsCell](XlsStr("beta"), XlsRkInt(42), XlsBool(true)))),
+      ("Nötes", Seq(
+        Seq[XlsExtract.XlsCell](XlsStr("ünïcode cell")))))
+    val bytes = graft.extract.XlsbExtract.buildXlsb("Binary Wb", sheets)
+    val doc = graft.extract.XlsbExtract.extract(bytes).fold(e => fail(e), identity)
+    assert(doc.title == "Binary Wb")
+    assert(doc.sheets.map(_.name) == Seq("Data", "Nötes"))
+    assert(doc.sheets.head.tableMd ==
+      "|Name|Qty|Price|\n|---|---|---|\n|alpha|-7|2.5|\n|beta|42|TRUE|")
+    assert(doc.sheets(1).tableMd == "|ünïcode cell|\n|---|")
+    // the BIFF8 and BIFF12 writers agree cell-for-cell
+    val b8 = XlsExtract.extract(XlsExtract.buildXls("Binary Wb", sheets))
+      .fold(e => fail(e), identity)
+    assert(b8.sheets.map(_.tableMd) == doc.sheets.map(_.tableMd))
+  }
+
+  test(".xlsb/.xlam/.xla route through ingestion to the right parsers") {
+    val sheets = Seq(("S", Seq(
+      Seq[XlsExtract.XlsCell](XlsStr("h")), Seq[XlsExtract.XlsCell](XlsRkInt(3)))))
+    val xlsb = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc(
+      "wb.xlsb", graft.extract.XlsbExtract.buildXlsb("", sheets)))
+    assert(xlsb.failure.isEmpty, xlsb.failure)
+    assert(xlsb.mime_type == "application/vnd.ms-excel.sheet.binary.macroEnabled.12")
+    assert(xlsb.spans.exists(_.text == "|h|\n|---|\n|3|"))
+    // .xlam = XLSX ZIP container; .xla = 97-2003 CFB/BIFF8 workbook
+    val xlam = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc(
+      "addin.xlam", graft.extract.OfficeExtract.buildXlsx("", Seq(("S", Seq(Seq("h"), Seq("3")))))))
+    assert(xlam.failure.isEmpty, xlam.failure)
+    assert(xlam.mime_type == "application/vnd.ms-excel.addin.macroEnabled.12")
+    assert(xlam.spans.exists(_.text == "|h|\n|---|\n|3|"))
+    val xla = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc(
+      "tmpl.xla", XlsExtract.buildXls("", sheets)))
+    assert(xla.failure.isEmpty, xla.failure)
+    assert(xla.mime_type == "application/vnd.ms-excel.template.macroEnabled.12")
+    assert(xla.spans.exists(_.text == "|h|\n|---|\n|3|"))
+    // malformed .xlsb is a failure row, not an exception
+    val bad = graft.pipeline.Pipeline.extractOne(graft.io.Ingest.toRawDoc(
+      "bad.xlsb", "not a zip".getBytes))
+    assert(bad.failure.nonEmpty && bad.failure.contains("xlsb_parse_error"))
+  }
+
   // ------------------------------------------------------------ csv/tsv
   test("csv RFC 4180 corners: quotes, embedded delimiter, CRLF, ragged pad") {
     val csv = "a,b,c\r\n\"x, y\",\"say \"\"hi\"\"\",3\nshort,row\n"
