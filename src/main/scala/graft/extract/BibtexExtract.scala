@@ -29,15 +29,20 @@ object BibtexExtract {
     val entries = parse(src)
     if (entries.isEmpty)
       throw new IllegalArgumentException("bibtex: no entries")
-    entries.map(render).mkString("\n")
+    entries.map(e => render(e.kind, e.key, e.fields)).mkString("\n")
   }
 
   /** TeX-unescape a field value and drop case-protection braces. */
   private def clean(v: String): String =
     LatexExtract.inlineText(v).replace("{", "").replace("}", "")
 
-  private def render(e: Entry): String = {
-    def f(n: String): Option[String] = e.fields.get(n).filter(_.nonEmpty)
+  /** One reference-list line — the shared render shape for every
+    * bibliography dialect (BibTeX here; RIS, CSL-JSON, and EndNote XML
+    * normalize their fields into the same author/year/title/venue slots).
+    */
+  private[extract] def render(kind: String, key: String,
+      fields: Map[String, String]): String = {
+    def f(n: String): Option[String] = fields.get(n).filter(_.nonEmpty)
     val author = f("author").map(a => clean(a).replace(" and ", ", "))
     val year = f("year").map(clean)
     val title = f("title").map(t => s"*${clean(t)}*")
@@ -50,7 +55,7 @@ object BibtexExtract {
     }
     val parts = (head.toSeq ++ title.toSeq ++ venue.toSeq).mkString(". ")
     val tail = if (parts.isEmpty) "" else s": $parts."
-    s"- **${e.key}** (${e.kind})$tail"
+    s"- **$key** ($kind)$tail"
   }
 
   private def parse(src: String): Seq[Entry] = {

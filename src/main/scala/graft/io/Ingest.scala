@@ -315,12 +315,42 @@ object Ingest {
         RawDoc(relPath, "rst", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
-      case "application/x-bibtex" =>
+      case "application/x-bibtex" | "application/x-biblatex" =>
         // BibTeX dialect (Pipeline routes through BibtexExtract; in the
-        // reference's pandoc surface, mime_types.py:91,163)
+        // reference's pandoc surface, mime_types.py:91,163). biblatex
+        // (mime_types.py:89) shares the @type{key, field=value} grammar
         RawDoc(relPath, "bibtex", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
+      case "application/x-research-info-systems" =>
+        // RIS line-tag bibliography (reference pandoc surface,
+        // mime_types.py:98)
+        RawDoc(relPath, "ris", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "application/csl+json" =>
+        // CSL-JSON bibliography (reference pandoc surface, mime_types.py:83)
+        RawDoc(relPath, "csljson", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "application/x-endnote+xml" =>
+        // EndNote XML bibliography (reference pandoc surface,
+        // mime_types.py:92)
+        RawDoc(relPath, "endnote", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "application/docbook+xml" =>
+        // DocBook XML (reference pandoc surface, mime_types.py:84)
+        RawDoc(relPath, "docbook", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "text/x-commonmark" | "text/x-gfm" | "text/x-markdown" |
+           "text/x-markdown-extra" | "text/x-multimarkdown" =>
+        // markdown dialects in the reference's pandoc surface
+        // (mime_types.py:102-107) ARE markdown — the marker-dialect
+        // detector applies exactly as for text/markdown
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        RawDoc(relPath, detectDialect(text), mime, text, Nil, Nil, source_path = relPath)
       case "application/x-latex" =>
         // LaTeX dialect (Pipeline routes through LatexExtract; in the
         // reference's pandoc surface, mime_types.py:97,165)

@@ -105,6 +105,26 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.BibtexExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "ris" =>
+          // RIS line-tag bibliography → the shared reference-list shape
+          val n = Normalize.dialect("md_plain",
+            graft.extract.RisExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "csljson" =>
+          // CSL-JSON bibliography → the shared reference-list shape
+          val n = Normalize.dialect("md_plain",
+            graft.extract.CslJsonExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "endnote" =>
+          // EndNote XML bibliography → the shared reference-list shape
+          val n = Normalize.dialect("md_plain",
+            graft.extract.EndnoteExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "docbook" =>
+          // DocBook XML subset → markdown (sections, lists, verbatim)
+          val n = Normalize.dialect("md_plain",
+            graft.extract.DocbookExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case "latex" =>
           // LaTeX subset → markdown (headings, lists, verbatim, tabular)
           val n = Normalize.dialect("md_plain",
