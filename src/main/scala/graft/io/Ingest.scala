@@ -344,6 +344,21 @@ object Ingest {
         RawDoc(relPath, "docbook", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
+      case "application/x-fictionbook+xml" =>
+        // FictionBook 2 (reference pandoc surface, mime_types.py:86)
+        RawDoc(relPath, "fb2", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "application/x-jats+xml" =>
+        // JATS article XML (reference pandoc surface, mime_types.py:96)
+        RawDoc(relPath, "jats", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "application/x-opml+xml" =>
+        // OPML outline (reference pandoc surface, mime_types.py:97)
+        RawDoc(relPath, "opml", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "text/x-commonmark" | "text/x-gfm" | "text/x-markdown" |
            "text/x-markdown-extra" | "text/x-multimarkdown" =>
         // markdown dialects in the reference's pandoc surface

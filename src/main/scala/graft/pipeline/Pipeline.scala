@@ -125,6 +125,21 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.DocbookExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "fb2" =>
+          // FictionBook 2 subset → markdown (bodies, poems, cites)
+          val n = Normalize.dialect("md_plain",
+            graft.extract.Fb2Extract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "jats" =>
+          // JATS article subset → markdown (front matter, secs, lists)
+          val n = Normalize.dialect("md_plain",
+            graft.extract.JatsExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "opml" =>
+          // OPML outline → one nested markdown list
+          val n = Normalize.dialect("md_plain",
+            graft.extract.OpmlExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case "latex" =>
           // LaTeX subset → markdown (headings, lists, verbatim, tabular)
           val n = Normalize.dialect("md_plain",
