@@ -359,6 +359,31 @@ object Ingest {
         RawDoc(relPath, "opml", mime,
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
           source_path = relPath)
+      case "application/x-typst" =>
+        // Typst markup (reference pandoc surface, mime_types.py:99)
+        RawDoc(relPath, "typst", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "text/troff" =>
+        // troff/man macros (reference pandoc surface, mime_types.py:101)
+        RawDoc(relPath, "troff", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "text/x-dokuwiki" =>
+        // DokuWiki markup (reference pandoc surface, mime_types.py:100)
+        RawDoc(relPath, "dokuwiki", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "text/x-mdoc" =>
+        // BSD mdoc macros (reference pandoc surface, mime_types.py:103)
+        RawDoc(relPath, "mdoc", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
+      case "text/x-pod" =>
+        // Perl POD (reference pandoc surface, mime_types.py:104)
+        RawDoc(relPath, "pod", mime,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), Nil, Nil,
+          source_path = relPath)
       case "text/x-commonmark" | "text/x-gfm" | "text/x-markdown" |
            "text/x-markdown-extra" | "text/x-multimarkdown" =>
         // markdown dialects in the reference's pandoc surface

@@ -140,6 +140,31 @@ object Pipeline {
           val n = Normalize.dialect("md_plain",
             graft.extract.OpmlExtract.toMarkdown(r.raw), r.pages)
           (n.spans, n.images, "")
+        case "typst" =>
+          // Typst markup subset → markdown
+          val n = Normalize.dialect("md_plain",
+            graft.extract.TypstExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "troff" =>
+          // man(7) macro subset → markdown
+          val n = Normalize.dialect("md_plain",
+            graft.extract.TroffExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "dokuwiki" =>
+          // DokuWiki syntax subset → markdown
+          val n = Normalize.dialect("md_plain",
+            graft.extract.DokuwikiExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "mdoc" =>
+          // mdoc(7) semantic macro subset → markdown
+          val n = Normalize.dialect("md_plain",
+            graft.extract.MdocExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
+        case "pod" =>
+          // perlpod subset → markdown
+          val n = Normalize.dialect("md_plain",
+            graft.extract.PodExtract.toMarkdown(r.raw), r.pages)
+          (n.spans, n.images, "")
         case "latex" =>
           // LaTeX subset → markdown (headings, lists, verbatim, tabular)
           val n = Normalize.dialect("md_plain",
