@@ -146,4 +146,16 @@ class IngestSpec extends AnyFunSuite {
     assert(one.length == 1 && one.head.doc_id == "one.md" &&
       one.head.raw == "# Depth one")
   }
+
+  test("every non-image supported MIME routes to a real dialect") {
+    // the reference's SUPPORTED union minus image/* (standalone images go
+    // to its OCR/ML providers — the documented external-ML exclusion);
+    // everything else must reach a byte or text route, never unsupported:*
+    val nonImage = graft.ops.DocOps.SupportedMimeTypes
+      .filterNot(_.startsWith("image/"))
+    for (mime <- nonImage) {
+      val d = Ingest.toRawDoc("f.bin", "x".getBytes("UTF-8"), mime).payload_kind
+      assert(!d.startsWith("unsupported"), s"$mime -> $d")
+    }
+  }
 }
