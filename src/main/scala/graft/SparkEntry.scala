@@ -1047,6 +1047,345 @@ object SparkEntry {
         }
         .toDF("doc_id", "mime_type", "page_count", "n_spans", "text_all")
     }),
+    "q_typst" -> ((s, dir) => {
+      // Typst markup through the REAL ingestion route: = headings, inline
+      // *bold*/_emph_, #image → standalone image span, bullet list, raw
+      // fence, #link — arithmetic in doc_id (reference pandoc surface,
+      // mime_types.py:98)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val typ =
+            s"""= Doc ${id % 5}
+               |== Part ${(id * 2) % 7}
+               |Some *very* important _words_ ${(id + 1) % 4} here.
+               |
+               |#image("plot-${id % 3}.png")
+               |
+               |- alpha ${id % 6}
+               |- beta
+               |
+               |```scala
+               |val x = ${id % 9}
+               |```
+               |See #link("http://e.x")[docs ${id % 2}] now.
+               |""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.typ", typ.getBytes("UTF-8"),
+              "application/x-typst"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.map(_.kind).mkString(","),
+            out.spans.filter(_.kind == "image").map(_.media_ref).mkString(","),
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "kinds", "media_refs", "text_all")
+    }),
+    "q_man" -> ((s, dir) => {
+      // manual pages through the REAL ingestion route — classic man(7)
+      // macros on even ids (.TH/.SH/.TP, \fB..\fR fonts, .nf/.fi), BSD
+      // mdoc(7) semantic macros on odd (.Dt/.Sh/.Nm/.Nd/.Ar/.Dl) —
+      // arithmetic in doc_id (reference pandoc surface, mime_types.py:101,103)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val (ext, mime, src) =
+            if (id % 2 == 0)
+              ("1", "text/troff",
+                s""".TH TOOL${id % 4} 1
+                   |.SH NAME
+                   |tool${id % 4} \\- does thing ${(id * 3) % 7}
+                   |.SH DESCRIPTION
+                   |Runs with \\fBbold ${id % 5}\\fR form.
+                   |.TP
+                   |.B \\-x
+                   |Option ${(id + 2) % 6}.
+                   |.nf
+                   |code ${id % 3}
+                   |.fi
+                   |""".stripMargin)
+            else
+              ("mdoc", "text/x-mdoc",
+                s""".Dd January 1, 2024
+                   |.Dt TOOL${id % 4} 1
+                   |.Os
+                   |.Sh NAME
+                   |.Nm tool${id % 4}
+                   |.Nd does thing ${(id * 3) % 7}
+                   |.Sh DESCRIPTION
+                   |Runs with
+                   |.Ar file
+                   |operands ${id % 5}.
+                   |.Dl make ${id % 3}
+                   |""".stripMargin)
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.$ext", src.getBytes("UTF-8"), mime))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "text_all")
+    }),
+    "q_dokuwiki" -> ((s, dir) => {
+      // DokuWiki syntax through the REAL ingestion route: ====== headings,
+      // //italic///''mono'', [[url|label]] links, a standalone {{media}}
+      // block → image span, lists, <code lang> fence — arithmetic in
+      // doc_id (reference pandoc surface, mime_types.py:103)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val doku =
+            s"""====== Wiki ${id % 5} ======
+               |===== Part ${(id * 2) % 7} =====
+               |Some //italic ${id % 4}// and **bold** with ''mono ${id % 6}'' text.
+               |Link [[http://a|site ${id % 3}]] here.
+               |
+               |{{ img-${id % 2}.png?200 |cap}}
+               |
+               |  * one ${(id + 3) % 8}
+               |  * two
+               |
+               |<code python>
+               |print(${id % 9})
+               |</code>
+               |""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.txt", doku.getBytes("UTF-8"),
+              "text/x-dokuwiki"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.map(_.kind).mkString(","),
+            out.spans.filter(_.kind == "image").map(_.media_ref).mkString(","),
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "kinds", "media_refs", "text_all")
+    }),
+    "q_pod" -> ((s, dir) => {
+      // Perl POD through the REAL ingestion route: =head1/=head2, B</C<
+      // inline codes, E<lt> escapes, indented verbatim → fence, =over/
+      // =item bullets, =cut terminator — arithmetic in doc_id (reference
+      // pandoc surface, mime_types.py:110)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val pod =
+            s"""=pod
+               |
+               |=head1 Tool ${id % 5}
+               |
+               |Runs B<fast ${id % 4}> with C<cmd --${id % 7}>.
+               |Compare 1 E<lt> ${(id + 2) % 9}.
+               |
+               |    $$ tool --run ${id % 3}
+               |
+               |=over 4
+               |
+               |=item *
+               |
+               |First choice ${(id * 2) % 11}.
+               |
+               |=item *
+               |
+               |Second choice.
+               |
+               |=back
+               |
+               |=head2 Options ${id % 6}
+               |
+               |=cut
+               |
+               |ignored after cut
+               |""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.pod", pod.getBytes("UTF-8"),
+              "text/x-pod"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "text_all")
+    }),
+    "q_fb2" -> ((s, dir) => {
+      // FictionBook 2 through the REAL ingestion route: book-title from
+      // description, body/section title nesting, emphasis inline, cite →
+      // blockquote, image → image span — arithmetic in doc_id (reference
+      // pandoc surface, mime_types.py — application/x-fictionbook+xml)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val fb2 =
+            s"""<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0"
+               |             xmlns:l="http://www.w3.org/1999/xlink">
+               |<description><title-info><book-title>Book ${id % 5}</book-title></title-info></description>
+               |<body>
+               | <title><p>Volume ${(id % 3) + 1}</p></title>
+               | <section>
+               |  <title><p>Chapter ${(id * 2) % 9}</p></title>
+               |  <p>It was <emphasis>a</emphasis> night ${id % 4}.</p>
+               |  <cite><p>Quote ${(id + 5) % 7}.</p></cite>
+               |  <image l:href="#pic${id % 2}.png"/>
+               | </section>
+               |</body>
+               |</FictionBook>""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.fb2", fb2.getBytes("UTF-8"),
+              "application/x-fictionbook+xml"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.map(_.kind).mkString(","),
+            out.spans.filter(_.kind == "image").map(_.media_ref).mkString(","),
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "kinds", "media_refs", "text_all")
+    }),
+    "q_jats" -> ((s, dir) => {
+      // JATS article XML through the REAL ingestion route: front-matter
+      // title + abstract, sec nesting, monospace inline, ordered list,
+      // fig/graphic → image span + caption — arithmetic in doc_id
+      // (reference pandoc surface, mime_types.py:94)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val jats =
+            s"""<article xmlns:xlink="http://www.w3.org/1999/xlink">
+               | <front><article-meta><title-group><article-title>Paper ${id % 6}</article-title></title-group>
+               |  <abstract><p>We study ${id % 4} things.</p></abstract></article-meta></front>
+               | <body>
+               |  <sec><title>Methods ${(id * 3) % 8}</title>
+               |   <p>Use <monospace>cmd-${id % 5}</monospace> now.</p>
+               |   <list list-type="order"><list-item><p>first ${id % 3}</p></list-item>
+               |     <list-item><p>second</p></list-item></list>
+               |  </sec>
+               |  <fig><graphic xlink:href="f${id % 2}.png"/><caption><p>Figure ${(id + 1) % 7}.</p></caption></fig>
+               | </body>
+               |</article>""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.xml", jats.getBytes("UTF-8"),
+              "application/x-jats+xml"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.map(_.kind).mkString(","),
+            out.spans.filter(_.kind == "image").map(_.media_ref).mkString(","),
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "kinds", "media_refs", "text_all")
+    }),
+    "q_opml" -> ((s, dir) => {
+      // OPML outlines through the REAL ingestion route: head title →
+      // heading, nested outline elements → nested list, xmlUrl → link,
+      // _note suffix — arithmetic in doc_id (reference pandoc surface,
+      // mime_types.py:96)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val opml =
+            s"""<opml version="2.0">
+               | <head><title>Plans ${id % 5}</title></head>
+               | <body>
+               |  <outline text="Top ${(id * 2) % 7}">
+               |   <outline text="Sub ${id % 4}"/>
+               |   <outline text="Feed" xmlUrl="http://f/${id % 3}"/>
+               |  </outline>
+               |  <outline text="Item ${(id + 4) % 9}" _note="note ${id % 6}"/>
+               | </body>
+               |</opml>""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.opml", opml.getBytes("UTF-8"),
+              "application/x-opml+xml"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "text_all")
+    }),
+    "q_refs" -> ((s, dir) => {
+      // the remaining bibliography dialects through the REAL ingestion
+      // route, SAME logical records in each so one oracle gates all three:
+      // id%3==0 RIS line-tags, ==1 CSL-JSON, ==2 EndNote XML — all
+      // normalize into BibtexExtract.render's shared reference-list line,
+      // differing only in the kind vocabulary and id slot
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val y = 1980 + (id % 40)
+          val (m, j, k, p) = (id % 9, id % 4, id % 10, (id + 1) % 6)
+          val (ext, mime, src) = (id % 3) match {
+            case 0 => ("ris", "application/x-research-info-systems",
+              s"""TY  - JOUR
+                 |AU  - Knuth, Donald E.
+                 |TI  - Study $m
+                 |JO  - Journal $j
+                 |PY  - $y
+                 |ID  - r$k
+                 |ER  -
+                 |TY  - BOOK
+                 |TI  - Note $p
+                 |ER  -
+                 |""".stripMargin)
+            case 1 => ("json", "application/csl+json",
+              s"""[{"id":"r$k","type":"article-journal",
+                 |  "author":[{"family":"Knuth","given":"Donald E."}],
+                 |  "issued":{"date-parts":[[$y,1,1]]},
+                 |  "title":"Study $m","container-title":"Journal $j"},
+                 | {"type":"book","title":"Note $p"}]""".stripMargin)
+            case _ => ("xml", "application/x-endnote+xml",
+              s"""<xml><records>
+                 |<record>
+                 | <rec-number>$k</rec-number>
+                 | <ref-type name="Journal Article">17</ref-type>
+                 | <contributors><authors><author><style>Knuth, Donald E.</style></author></authors></contributors>
+                 | <titles><title><style>Study $m</style></title></titles>
+                 | <periodical><full-title><style>Journal $j</style></full-title></periodical>
+                 | <dates><year><style>$y</style></year></dates>
+                 |</record>
+                 |<record>
+                 | <ref-type name="Book">6</ref-type>
+                 | <titles><title><style>Note $p</style></title></titles>
+                 |</record>
+                 |</records></xml>""".stripMargin)
+          }
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.$ext", src.getBytes("UTF-8"), mime))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "text_all")
+    }),
+    "q_docbook" -> ((s, dir) => {
+      // DocBook XML through the REAL ingestion route: info-wrapped title,
+      // section → heading, emphasis/role=bold inline, programlisting →
+      // fence, itemizedlist, mediaobject/imagedata → image span —
+      // arithmetic in doc_id (reference pandoc surface, mime_types.py:84)
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val xml =
+            s"""<article>
+               |  <info><title>Guide ${id % 5}</title></info>
+               |  <section>
+               |    <title>Intro ${(id * 2) % 7}</title>
+               |    <para>Hello <emphasis>world ${id % 4}</emphasis> and
+               |      <emphasis role="bold">bold</emphasis> text.</para>
+               |    <programlisting language="scala">val x = ${id % 9}</programlisting>
+               |    <itemizedlist>
+               |      <listitem><para>first ${id % 3}</para></listitem>
+               |      <listitem><para>second</para></listitem>
+               |    </itemizedlist>
+               |    <mediaobject><imageobject><imagedata fileref="fig${id % 2}.png"/></imageobject></mediaobject>
+               |  </section>
+               |</article>""".stripMargin
+          val out = graft.pipeline.Pipeline.extractOne(
+            graft.io.Ingest.toRawDoc(s"d$id.xml", xml.getBytes("UTF-8"),
+              "application/docbook+xml"))
+          require(out.failure.isEmpty, out.failure)
+          (id, out.mime_type, out.spans.size,
+            out.spans.map(_.kind).mkString(","),
+            out.spans.filter(_.kind == "image").map(_.media_ref).mkString(","),
+            out.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
+        }
+        .toDF("doc_id", "mime_type", "n_spans", "kinds", "media_refs", "text_all")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // CCNet-style corpus-level boilerplate-paragraph removal: every doc
       // carries a universal header (df = N), a shared promo block
@@ -1906,6 +2245,154 @@ object SparkEntry {
         |    (doc_id % 3) || '|' || chr(10) ||
         |  '|say "hi"|' || ((doc_id * 2) % 9) || '|line' || (doc_id % 4) ||
         |    '|' AS text_all
+        |FROM documents""".stripMargin,
+    "q_typst" ->
+      // 7 spans: two headings, styled para, IMAGE (kind only), list,
+      // fence, link para
+      """SELECT doc_id, 'application/x-typst' AS mime_type,
+        |  CAST(7 AS INT) AS n_spans,
+        |  'text,text,text,image,text,text,text' AS kinds,
+        |  'plot-' || (doc_id % 3) || '.png' AS media_refs,
+        |  '# Doc ' || (doc_id % 5) || chr(10) ||
+        |  '## Part ' || ((doc_id * 2) % 7) || chr(10) ||
+        |  'Some **very** important *words* ' || ((doc_id + 1) % 4) ||
+        |    ' here.' || chr(10) ||
+        |  '- alpha ' || (doc_id % 6) || chr(10) || '- beta' || chr(10) ||
+        |  '```scala' || chr(10) || 'val x = ' || (doc_id % 9) || chr(10) ||
+        |    '```' || chr(10) ||
+        |  'See [docs ' || (doc_id % 2) || '](http://e.x) now.' AS text_all
+        |FROM documents""".stripMargin,
+    "q_man" ->
+      // even ids man(7): title/NAME/name-line/DESCRIPTION/font para/TP
+      // tag/tag body/fence = 8 spans; odd ids mdoc(7): Nm/Nd join with an
+      // em dash, Ar italicizes, Dl fences = 6 spans
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/troff'
+        |       ELSE 'text/x-mdoc' END AS mime_type,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 6 END AS INT) AS n_spans,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    '# TOOL' || (doc_id % 4) || '(1)' || chr(10) ||
+        |    '## NAME' || chr(10) ||
+        |    'tool' || (doc_id % 4) || ' - does thing ' ||
+        |      ((doc_id * 3) % 7) || chr(10) ||
+        |    '## DESCRIPTION' || chr(10) ||
+        |    'Runs with **bold ' || (doc_id % 5) || '** form.' || chr(10) ||
+        |    '**-x**' || chr(10) ||
+        |    'Option ' || ((doc_id + 2) % 6) || '.' || chr(10) ||
+        |    '```' || chr(10) || 'code ' || (doc_id % 3) || chr(10) || '```'
+        |  ELSE
+        |    '# TOOL' || (doc_id % 4) || '(1)' || chr(10) ||
+        |    '## NAME' || chr(10) ||
+        |    '**tool' || (doc_id % 4) || '** — does thing ' ||
+        |      ((doc_id * 3) % 7) || chr(10) ||
+        |    '## DESCRIPTION' || chr(10) ||
+        |    'Runs with *file* operands ' || (doc_id % 5) || '.' || chr(10) ||
+        |    '```' || chr(10) || 'make ' || (doc_id % 3) || chr(10) || '```'
+        |  END AS text_all
+        |FROM documents""".stripMargin,
+    "q_dokuwiki" ->
+      // 6 spans: two headings, one joined inline para, IMAGE (kind only),
+      // list (nested syntax flattened to bullets), python fence
+      """SELECT doc_id, 'text/x-dokuwiki' AS mime_type,
+        |  CAST(6 AS INT) AS n_spans,
+        |  'text,text,text,image,text,text' AS kinds,
+        |  'img-' || (doc_id % 2) || '.png' AS media_refs,
+        |  '# Wiki ' || (doc_id % 5) || chr(10) ||
+        |  '## Part ' || ((doc_id * 2) % 7) || chr(10) ||
+        |  'Some *italic ' || (doc_id % 4) || '* and **bold** with `mono ' ||
+        |    (doc_id % 6) || '` text. Link [site ' || (doc_id % 3) ||
+        |    '](http://a) here.' || chr(10) ||
+        |  '- one ' || ((doc_id + 3) % 8) || chr(10) || '- two' || chr(10) ||
+        |  '```python' || chr(10) || 'print(' || (doc_id % 9) || ')' ||
+        |    chr(10) || '```' AS text_all
+        |FROM documents""".stripMargin,
+    "q_pod" ->
+      // 5 spans: head1, inline-code para (E<lt> unescapes), verbatim
+      // fence keeping the 4-space indent, item list, head2
+      """SELECT doc_id, 'text/x-pod' AS mime_type,
+        |  CAST(5 AS INT) AS n_spans,
+        |  '# Tool ' || (doc_id % 5) || chr(10) ||
+        |  'Runs **fast ' || (doc_id % 4) || '** with `cmd --' ||
+        |    (doc_id % 7) || '`. Compare 1 < ' || ((doc_id + 2) % 9) ||
+        |    '.' || chr(10) ||
+        |  '```' || chr(10) || '    $ tool --run ' || (doc_id % 3) ||
+        |    chr(10) || '```' || chr(10) ||
+        |  '- First choice ' || ((doc_id * 2) % 11) || '.' || chr(10) ||
+        |    '- Second choice.' || chr(10) ||
+        |  '## Options ' || (doc_id % 6) AS text_all
+        |FROM documents""".stripMargin,
+    "q_fb2" ->
+      // 6 spans: book-title, body title, section title, emphasis para,
+      // cite blockquote, IMAGE (kind only, positional ref)
+      """SELECT doc_id, 'application/x-fictionbook+xml' AS mime_type,
+        |  CAST(6 AS INT) AS n_spans,
+        |  'text,text,text,text,text,image' AS kinds,
+        |  'pic' || (doc_id % 2) || '.png' AS media_refs,
+        |  '# Book ' || (doc_id % 5) || chr(10) ||
+        |  '# Volume ' || ((doc_id % 3) + 1) || chr(10) ||
+        |  '## Chapter ' || ((doc_id * 2) % 9) || chr(10) ||
+        |  'It was *a* night ' || (doc_id % 4) || '.' || chr(10) ||
+        |  '> Quote ' || ((doc_id + 5) % 7) || '.' AS text_all
+        |FROM documents""".stripMargin,
+    "q_jats" ->
+      // 8 spans: article-title, Abstract heading, abstract para, sec
+      // heading, monospace para, ordered list, IMAGE, fig caption
+      """SELECT doc_id, 'application/x-jats+xml' AS mime_type,
+        |  CAST(8 AS INT) AS n_spans,
+        |  'text,text,text,text,text,text,image,text' AS kinds,
+        |  'f' || (doc_id % 2) || '.png' AS media_refs,
+        |  '# Paper ' || (doc_id % 6) || chr(10) ||
+        |  '## Abstract' || chr(10) ||
+        |  'We study ' || (doc_id % 4) || ' things.' || chr(10) ||
+        |  '## Methods ' || ((doc_id * 3) % 8) || chr(10) ||
+        |  'Use `cmd-' || (doc_id % 5) || '` now.' || chr(10) ||
+        |  '1. first ' || (doc_id % 3) || chr(10) || '2. second' || chr(10) ||
+        |  'Figure ' || ((doc_id + 1) % 7) || '.' AS text_all
+        |FROM documents""".stripMargin,
+    "q_opml" ->
+      // 2 spans: head title heading + ONE nested outline list (xmlUrl →
+      // link, _note → em-dash suffix)
+      """SELECT doc_id, 'application/x-opml+xml' AS mime_type,
+        |  CAST(2 AS INT) AS n_spans,
+        |  '# Plans ' || (doc_id % 5) || chr(10) ||
+        |  '- Top ' || ((doc_id * 2) % 7) || chr(10) ||
+        |  '  - Sub ' || (doc_id % 4) || chr(10) ||
+        |  '  - [Feed](http://f/' || (doc_id % 3) || ')' || chr(10) ||
+        |  '- Item ' || ((doc_id + 4) % 9) || ' — note ' || (doc_id % 6)
+        |    AS text_all
+        |FROM documents""".stripMargin,
+    "q_refs" ->
+      // one reference-list span; the three dialects agree on everything
+      // except the kind vocabulary and the id slot (EndNote rec-number
+      // has no 'r' prefix)
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'application/x-research-info-systems'
+        |       WHEN doc_id % 3 = 1 THEN 'application/csl+json'
+        |       ELSE 'application/x-endnote+xml' END AS mime_type,
+        |  CAST(1 AS INT) AS n_spans,
+        |  '- **' || CASE WHEN doc_id % 3 = 2 THEN '' ELSE 'r' END ||
+        |    (doc_id % 10) || '** (' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'jour'
+        |       WHEN doc_id % 3 = 1 THEN 'article-journal'
+        |       ELSE 'journal-article' END ||
+        |  '): Knuth, Donald E. (' || (1980 + doc_id % 40) || '). *Study ' ||
+        |    (doc_id % 9) || '*. Journal ' || (doc_id % 4) || '.' || chr(10) ||
+        |  '- **ref-2** (book): *Note ' || ((doc_id + 1) % 6) || '*.'
+        |    AS text_all
+        |FROM documents""".stripMargin,
+    "q_docbook" ->
+      // 6 spans: info title, section heading, role=bold para, scala
+      // fence, itemized list, IMAGE via mediaobject/imagedata
+      """SELECT doc_id, 'application/docbook+xml' AS mime_type,
+        |  CAST(6 AS INT) AS n_spans,
+        |  'text,text,text,text,text,image' AS kinds,
+        |  'fig' || (doc_id % 2) || '.png' AS media_refs,
+        |  '# Guide ' || (doc_id % 5) || chr(10) ||
+        |  '## Intro ' || ((doc_id * 2) % 7) || chr(10) ||
+        |  'Hello *world ' || (doc_id % 4) || '* and **bold** text.' || chr(10) ||
+        |  '```scala' || chr(10) || 'val x = ' || (doc_id % 9) || chr(10) ||
+        |    '```' || chr(10) ||
+        |  '- first ' || (doc_id % 3) || chr(10) || '- second' AS text_all
         |FROM documents""".stripMargin,
     "q_boilerplate" ->
       // the two hot paragraphs (df=N and df~N/3, both >10) vanish; the
