@@ -45,13 +45,9 @@ object DocbookExtract {
     val path = ArrayBuffer.empty[String]
     val inline = new StringBuilder
     var sectionDepth = 0
-    // per-list nesting: -1 = itemized, >=0 = next ordered index
-    var listCounters = List.empty[Int]
-    // per-open-listitem: has its marker line been emitted yet?
-    var itemStarted = List.empty[Boolean]
     // the outermost list renders as ONE block (same shape as the LaTeX
-    // and org routes), so item lines buffer until it closes
-    val listLines = ArrayBuffer.empty[String]
+    // and org routes); the nesting/marker machine is shared with JATS
+    val list = new MdShared.ListBuilder
     var linkTargets = List.empty[String]
     var emphMarks = List.empty[String]
     var verbatim: StringBuilder = null
@@ -69,23 +65,6 @@ object DocbookExtract {
         stack.dropRight(1) else stack
       eff.nonEmpty && SectionTags.contains(eff.last)
     }
-    def emitListText(t: String): Unit = {
-      val depth = listCounters.length
-      itemStarted match {
-        case false :: rest =>
-          val marker = listCounters.head match {
-            case n if n >= 0 =>
-              listCounters = (n + 1) :: listCounters.tail
-              s"${n + 1}. "
-            case _ => "- "
-          }
-          listLines += ("  " * (depth - 1)) + marker + t
-          itemStarted = true :: rest
-        case _ =>
-          listLines += ("  " * depth) + t // continuation para under the item
-      }
-    }
-
     try {
       while (r.hasNext) {
         r.next() match {
@@ -98,11 +77,11 @@ object DocbookExtract {
               case n if VerbatimTags.contains(n) =>
                 verbatim = new StringBuilder
                 verbLang = DocxExtract.attr(r, "language")
-              case "itemizedlist" => listCounters = -1 :: listCounters
-              case "orderedlist" => listCounters = 0 :: listCounters
+              case "itemizedlist" => list.openList(ordered = false)
+              case "orderedlist" => list.openList(ordered = true)
               case "listitem" =>
                 inline.clear()
-                itemStarted = false :: itemStarted
+                list.openItem()
               case "emphasis" =>
                 val role = DocxExtract.attr(r, "role")
                 val m = if (role == "bold" || role == "strong") "**" else "*"
@@ -131,7 +110,7 @@ object DocbookExtract {
             if (verbatim != null) {
               if (VerbatimTags.contains(name)) {
                 val body = verbatim.toString.stripPrefix("\n").stripTrailing()
-                blocks += fence(body, verbLang)
+                blocks += MdShared.fence(body, verbLang)
                 verbatim = null
               }
             } else name match {
@@ -143,20 +122,15 @@ object DocbookExtract {
               case "para" | "simpara" =>
                 val t = flushInline()
                 if (t.nonEmpty) {
-                  if (itemStarted.nonEmpty) emitListText(t) else blocks += t
+                  if (list.inItem) list.text(t) else blocks += t
                 }
               case "listitem" =>
                 // a bare listitem with no para still renders its text
                 val t = flushInline()
-                if (t.nonEmpty && itemStarted.headOption.contains(false))
-                  emitListText(t)
-                itemStarted = itemStarted.drop(1)
+                if (t.nonEmpty && list.itemPending) list.text(t)
+                list.closeItem()
               case "itemizedlist" | "orderedlist" =>
-                listCounters = listCounters.drop(1)
-                if (listCounters.isEmpty && listLines.nonEmpty) {
-                  blocks += listLines.mkString("\n")
-                  listLines.clear()
-                }
+                list.closeList().foreach(blocks += _)
               case "emphasis" =>
                 inline.append(emphMarks.headOption.getOrElse("*"))
                 emphMarks = emphMarks.drop(1)
@@ -175,9 +149,4 @@ object DocbookExtract {
     blocks.mkString("\n\n")
   }
 
-  private[extract] def fence(body: String, lang: String): String = {
-    val longest = "`+".r.findAllIn(body).map(_.length).maxOption.getOrElse(0)
-    val ticks = "`" * math.max(3, longest + 1)
-    s"$ticks$lang\n$body\n$ticks"
-  }
 }

@@ -27,9 +27,12 @@ object DokuwikiExtract {
   private val Heading = """^(={2,6})\s*(.*?)\s*=+\s*$""".r
   private val ListItem = """^((?:  )+)([*-])\s+(.*)$""".r
   private val CodeOpen = """^<code(?:\s+(\w+))?>\s*$""".r
-  // (?<!:) keeps the :// of bare URLs (two links in one line would
-  // otherwise pair up as one italic span — DokuWiki special-cases URLs)
-  private val Italic = """(?<!:)//([^/\n]+(?:/[^/\n]+)*)//""".r
+  private val Italic = """//([^/\n]+(?:/[^/\n]+)*)//""".r
+  // DokuWiki special-cases URLs before emphasis: every slash of a
+  // scheme://… token (bare, or inside an already-rendered markdown link)
+  // is masked before the Italic pass so '//' runs inside URLs can never
+  // open or close an emphasis span, then unmasked after
+  private val UrlToken = """[a-zA-Z][\w+.-]*://[^\s)\]|]*""".r
   private val Mono = """''([^'\n]+)''""".r
   private val LinkText = """\[\[([^\]|]+)\|([^\]]+)\]\]""".r
   private val LinkBare = """\[\[([^\]|]+)\]\]""".r
@@ -61,16 +64,17 @@ object DokuwikiExtract {
       })
       t = LinkText.replaceAllIn(t, m => q(s"[${m.group(2).trim}](${m.group(1).trim})"))
       t = LinkBare.replaceAllIn(t, m => { val u = m.group(1).trim; q(s"[$u]($u)") })
+      t = UrlToken.replaceAllIn(t, m => q(m.matched.replace('/', '\u0005')))
       t = Italic.replaceAllIn(t, m => q(s"*${m.group(1)}*"))
       t = Mono.replaceAllIn(t, m => q(s"`${m.group(1)}`"))
-      t.trim
+      t.replace('\u0005', '/').trim
     }
 
     for (raw <- src.split("\n", -1)) {
       val line = raw.stripSuffix("\r")
       if (fence != null) {
         if (line.trim == "</code>") {
-          blocks += (s"```$fenceLang" +: fence :+ "```").mkString("\n")
+          blocks += MdShared.fence(fence.mkString("\n"), fenceLang)
           fence = null
         } else fence += line
       } else line match {
@@ -99,7 +103,7 @@ object DokuwikiExtract {
       }
     }
     if (fence != null)
-      blocks += (s"```$fenceLang" +: fence :+ "```").mkString("\n")
+      blocks += MdShared.fence(fence.mkString("\n"), fenceLang)
     flushPara(); flushList()
     if (blocks.isEmpty) throw new IllegalArgumentException("dokuwiki: no content")
     blocks.mkString("\n\n")

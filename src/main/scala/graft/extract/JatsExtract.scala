@@ -35,9 +35,7 @@ object JatsExtract {
     val inline = new StringBuilder
     var secDepth = 0
     var abstractEmitted = false
-    var listCounters = List.empty[Int]
-    var itemStarted = List.empty[Boolean]
-    val listLines = ArrayBuffer.empty[String]
+    val list = new MdShared.ListBuilder // marker machine shared with DocBook
     var verbatim: StringBuilder = null
     var linkTargets = List.empty[String]
 
@@ -46,23 +44,6 @@ object JatsExtract {
       inline.clear()
       t
     }
-    def emitListText(t: String): Unit = {
-      val depth = listCounters.length
-      itemStarted match {
-        case false :: rest =>
-          val marker = listCounters.head match {
-            case n if n >= 0 =>
-              listCounters = (n + 1) :: listCounters.tail
-              s"${n + 1}. "
-            case _ => "- "
-          }
-          listLines += ("  " * (depth - 1)) + marker + t
-          itemStarted = true :: rest
-        case _ =>
-          listLines += ("  " * depth) + t
-      }
-    }
-
     try {
       while (r.hasNext) {
         r.next() match {
@@ -77,11 +58,10 @@ object JatsExtract {
               case "p" => inline.clear()
               case "preformat" => verbatim = new StringBuilder
               case "list" =>
-                val ordered = DocxExtract.attr(r, "list-type") == "order"
-                listCounters = (if (ordered) 0 else -1) :: listCounters
+                list.openList(ordered = DocxExtract.attr(r, "list-type") == "order")
               case "list-item" =>
                 inline.clear()
-                itemStarted = false :: itemStarted
+                list.openItem()
               case "italic" => inline.append('*')
               case "bold" => inline.append("**")
               case "monospace" | "code" => inline.append('`')
@@ -104,7 +84,7 @@ object JatsExtract {
             if (verbatim != null) {
               if (name == "preformat") {
                 val body = verbatim.toString.stripPrefix("\n").stripTrailing()
-                blocks += DocbookExtract.fence(body, "")
+                blocks += MdShared.fence(body, "")
                 verbatim = null
               }
             } else name match {
@@ -119,19 +99,14 @@ object JatsExtract {
               case "p" =>
                 val t = flushInline()
                 if (t.nonEmpty) {
-                  if (itemStarted.nonEmpty) emitListText(t) else blocks += t
+                  if (list.inItem) list.text(t) else blocks += t
                 }
               case "list-item" =>
                 val t = flushInline()
-                if (t.nonEmpty && itemStarted.headOption.contains(false))
-                  emitListText(t)
-                itemStarted = itemStarted.drop(1)
+                if (t.nonEmpty && list.itemPending) list.text(t)
+                list.closeItem()
               case "list" =>
-                listCounters = listCounters.drop(1)
-                if (listCounters.isEmpty && listLines.nonEmpty) {
-                  blocks += listLines.mkString("\n")
-                  listLines.clear()
-                }
+                list.closeList().foreach(blocks += _)
               case "italic" => inline.append('*')
               case "bold" => inline.append("**")
               case "monospace" | "code" => inline.append('`')

@@ -52,27 +52,8 @@ object MdocExtract {
         blocks += listLines.mkString("\n")
         listLines.clear()
       }
-    def split(rest: String): List[String] = {
-      val out = ArrayBuffer.empty[String]
-      var i = 0
-      val s = rest.trim
-      while (i < s.length) {
-        while (i < s.length && s.charAt(i) == ' ') i += 1
-        if (i < s.length) {
-          if (s.charAt(i) == '"') {
-            val e = s.indexOf('"', i + 1)
-            if (e < 0) { out += s.substring(i + 1); i = s.length }
-            else { out += s.substring(i + 1, e); i = e + 1 }
-          } else {
-            var e = i
-            while (e < s.length && s.charAt(e) != ' ') e += 1
-            out += s.substring(i, e)
-            i = e
-          }
-        }
-      }
-      out.toList
-    }
+    // request-line tokenizer shared with man(7) — same quoting grammar
+    def split(rest: String): List[String] = MdShared.troffArgs(rest)
     // render a callable-macro token sequence into inline markdown
     def render(toks: List[String]): String = {
       val parts = ArrayBuffer.empty[String]
@@ -112,7 +93,7 @@ object MdocExtract {
       val line = raw.stripSuffix("\r")
       if (fence != null) {
         if (line == ".Ed") {
-          blocks += ("```" +: fence :+ "```").mkString("\n")
+          blocks += MdShared.fence(fence.mkString("\n"), "")
           fence = null
         } else fence += line
       } else if (line.startsWith(".\\\"")) {
@@ -155,7 +136,7 @@ object MdocExtract {
             fence = ArrayBuffer.empty[String]
           case ("Dl" | "D1", a) =>
             flushPara()
-            blocks += s"```\n${a.mkString(" ")}\n```"
+            blocks += MdShared.fence(a.mkString(" "), "")
           case (m, a) if AllMacros.contains(m) =>
             appendText(render(m :: a))
           case _ => () // outside the subset
@@ -166,7 +147,7 @@ object MdocExtract {
         appendText(line.trim)
       }
     }
-    if (fence != null) blocks += ("```" +: fence :+ "```").mkString("\n")
+    if (fence != null) blocks += MdShared.fence(fence.mkString("\n"), "")
     flushPara()
     // an unclosed .Bl still renders its items
     if (listLines.nonEmpty) blocks += listLines.mkString("\n")

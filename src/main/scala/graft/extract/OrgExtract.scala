@@ -88,6 +88,7 @@ object OrgExtract {
           if (wasTable && tableRow == 1) {
             val ncols = math.max(1, out.last.count(_ == '|') - 1)
             out += ("|" + "---|" * ncols)
+            tableRow += 1 // a second rule right after must drop, not repeat
           }
           inTable = wasTable
           i += 1
@@ -140,13 +141,13 @@ object OrgExtract {
 
   // marker between word boundaries: preceded by start/space/punct(not the
   // marker), body starts and ends non-space, followed by end/space/punct
-  private def emphRe(m: Char, quoted: String) =
+  private def emphRe(quoted: String) =
     (s"(?<![\\w$quoted])$quoted(?=\\S)((?:[^$quoted\\n]*?\\S)?)$quoted(?![\\w$quoted])").r
 
-  private val Bold = emphRe('*', "\\*")
-  private val Italic = emphRe('/', "/")
-  private val Code = emphRe('~', "~")
-  private val Verbatim = emphRe('=', "=")
+  private val Bold = emphRe("\\*")
+  private val Italic = emphRe("/")
+  private val Code = emphRe("~")
+  private val Verbatim = emphRe("=")
 
   private def inline(s: String): String = {
     val linked = Link.replaceAllIn(s, m => {
@@ -173,10 +174,6 @@ object OrgExtract {
       java.util.regex.Matcher.quoteReplacement("`" + m.group(1) + "`"))
   }
 
-  /** Fence a block, widening past any backtick run inside the body. */
-  private def fence(body: String, lang: String): String = {
-    val longest = "`+".r.findAllIn(body).map(_.length).maxOption.getOrElse(0)
-    val ticks = "`" * math.max(3, longest + 1)
-    s"$ticks$lang\n$body\n$ticks"
-  }
+  private def fence(body: String, lang: String): String =
+    MdShared.fence(body, lang)
 }

@@ -43,6 +43,7 @@ object PodExtract {
     val verbatim = ArrayBuffer.empty[String]
     var cut = false // after =cut, outside a begin/end region
     var beginFmt = "" // inside =begin … =end
+    var forSkip = false // inside a =for format-specific paragraph
 
     def flushPara(): Unit = if (para.nonEmpty) {
       val t = para.mkString(" ")
@@ -52,7 +53,7 @@ object PodExtract {
       else blocks += t
     }
     def flushVerbatim(): Unit = if (verbatim.nonEmpty) {
-      blocks += ("```" +: verbatim :+ "```").mkString("\n")
+      blocks += MdShared.fence(verbatim.mkString("\n"), "")
       verbatim.clear()
     }
     def flushListIfDone(): Unit = if (overDepth == 0 && listLines.nonEmpty) {
@@ -84,7 +85,16 @@ object PodExtract {
               case "verbar" => "\u0003"
               case "sol" => "\u0004"
               case d if d.nonEmpty && d.forall(_.isDigit) =>
-                d.toInt.toChar.toString
+                // numeric escapes resolve through the same placeholders:
+                // E<60> is E<lt> by definition, and a literal < emitted
+                // mid-loop would be re-parsed as a formatting code
+                d.toInt.toChar match {
+                  case '<' => "\u0001"
+                  case '>' => "\u0002"
+                  case '|' => "\u0003"
+                  case '/' => "\u0004"
+                  case c => c.toString
+                }
               case other => other
             }
           }
@@ -102,13 +112,18 @@ object PodExtract {
       line match {
         case Cmd(cmd, rest) =>
           flushVerbatim()
+          forSkip = false // a command line starts a new paragraph
           cmd match {
             case "begin" => flushPara(); beginFmt = rest.trim
             case "end" => beginFmt = ""
             case _ if beginFmt.nonEmpty => ()
             case "cut" => flushPara(); cut = true
             case "pod" => cut = false
-            case "encoding" | "for" => flushPara()
+            case "encoding" => flushPara()
+            case "for" =>
+              // the WHOLE =for paragraph (continuation lines up to the
+              // next blank line) is format-specific and skips
+              flushPara(); forSkip = true
             case "head1" | "head2" | "head3" | "head4" =>
               cut = false
               flushPara()
@@ -139,7 +154,9 @@ object PodExtract {
           }
         case _ if beginFmt.nonEmpty || cut => ()
         case l if l.trim.isEmpty =>
+          forSkip = false
           flushPara(); flushVerbatim()
+        case _ if forSkip => () // continuation of a =for paragraph
         case l if l.head == ' ' || l.head == '\t' =>
           flushPara()
           verbatim += l

@@ -76,33 +76,20 @@ object TroffExtract {
       }
       out.toString
     }
-    // split request args: space-separated, double quotes group
-    def args(rest: String): Seq[String] = {
-      val out = ArrayBuffer.empty[String]
-      var i = 0
-      val s = rest.trim
-      while (i < s.length) {
-        while (i < s.length && s.charAt(i) == ' ') i += 1
-        if (i < s.length) {
-          if (s.charAt(i) == '"') {
-            val e = s.indexOf('"', i + 1)
-            if (e < 0) { out += s.substring(i + 1); i = s.length }
-            else { out += s.substring(i + 1, e); i = e + 1 }
-          } else {
-            var e = i
-            while (e < s.length && s.charAt(e) != ' ') e += 1
-            out += s.substring(i, e)
-            i = e
-          }
-        }
-      }
-      out.toSeq
-    }
+    // split request args: space-separated, double quotes group (the
+    // tokenizer is the mdoc one — man(7) and mdoc(7) share the grammar)
+    def args(rest: String): Seq[String] = MdShared.troffArgs(rest)
     // a .TP tag line is idiomatically a macro line (.B \-x): a font
-    // request right after .TP becomes the bold tag block itself
+    // request right after .TP becomes the bold tag block itself; a font
+    // request right after an argless .SH/.SS renders the heading (groff
+    // takes the next input line either way)
     def emitInline(s: String): Unit = {
       if (nextLineTag) { blocks += s; nextLineTag = false }
-      else para += s
+      else if (nextLineHeading > 0) {
+        flushPara()
+        blocks += ("#" * nextLineHeading) + " " + s
+        nextLineHeading = 0
+      } else para += s
     }
     def alternate(a: Seq[String], first: String, second: String): String =
       a.zipWithIndex.map { case (w, i) =>
@@ -114,7 +101,7 @@ object TroffExtract {
       val line = raw.stripSuffix("\r")
       if (fence != null) {
         if (line == ".fi") {
-          blocks += ("```" +: fence :+ "```").mkString("\n")
+          blocks += MdShared.fence(fence.mkString("\n"), "")
           fence = null
         } else if (!line.startsWith(".\\\"")) fence += line
       } else if (line.startsWith(".\\\"") || line.startsWith("'\\\"")) {
@@ -124,6 +111,13 @@ object TroffExtract {
         val sp = body.indexOf(' ')
         val req = if (sp < 0) body else body.substring(0, sp)
         val rest = if (sp < 0) "" else body.substring(sp + 1)
+        // a pending .TP tag / argless-.SH heading is satisfied only by a
+        // text line or a font request; any OTHER request abandons it so a
+        // later unrelated text line is not promoted into a tag/heading
+        if (!Set("B", "I", "BR", "RB", "IR", "RI").contains(req)) {
+          nextLineTag = false
+          nextLineHeading = 0
+        }
         req match {
           case "TH" =>
             flushPara()
@@ -166,7 +160,7 @@ object TroffExtract {
         para += text(line.trim)
       }
     }
-    if (fence != null) blocks += ("```" +: fence :+ "```").mkString("\n")
+    if (fence != null) blocks += MdShared.fence(fence.mkString("\n"), "")
     flushPara()
     if (blocks.isEmpty) throw new IllegalArgumentException("troff: no content")
     blocks.mkString("\n\n")

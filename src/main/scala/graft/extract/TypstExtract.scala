@@ -31,8 +31,12 @@ object TypstExtract {
   private val Numbered = """^(\s*)\+\s+(.*)$""".r
   private val ImageCall = """^#image\("([^"]+)"[^)]*\)\s*$""".r
   private val LinkCall = """#link\("([^"]+)"\)\[([^\]]*)\]""".r
-  private val Bold = """\*([^*\n]+)\*""".r
-  private val Emph = """_([^_\n]+)_""".r
+  // markers only trigger at word boundaries (typst syntax: *strong* /
+  // _emph_ open after start/space/punct and close before end/space/punct)
+  // — otherwise snake_case words and 2*3*4 arithmetic would corrupt, and
+  // underscores inside already-rendered link URLs would re-process
+  private val Bold = """(?<![\w*])\*(?=\S)((?:[^*\n]*?\S)?)\*(?![\w*])""".r
+  private val Emph = """(?<![\w_])_(?=\S)((?:[^_\n]*?\S)?)_(?![\w_])""".r
 
   def toMarkdown(src: String): String = {
     val blocks = ArrayBuffer.empty[String]
@@ -64,7 +68,7 @@ object TypstExtract {
       val line = raw.stripSuffix("\r")
       if (fence != null) {
         if (line.trim == "```") {
-          blocks += (s"```$fenceLang" +: fence :+ "```").mkString("\n")
+          blocks += MdShared.fence(fence.mkString("\n"), fenceLang)
           fence = null
         } else fence += line
       } else if (line.startsWith("```")) {
@@ -97,7 +101,7 @@ object TypstExtract {
       }
     }
     if (fence != null) // unterminated raw block still renders
-      blocks += (s"```$fenceLang" +: fence :+ "```").mkString("\n")
+      blocks += MdShared.fence(fence.mkString("\n"), fenceLang)
     flushPara(); flushList()
     if (blocks.isEmpty) throw new IllegalArgumentException("typst: no content")
     blocks.mkString("\n\n")

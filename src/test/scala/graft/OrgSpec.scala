@@ -56,6 +56,11 @@ class OrgSpec extends AnyFunSuite {
       "|Name|Qty|\n|---|---|\n|alpha|3|\n|beta|7|")
   }
 
+  test("consecutive table rules emit exactly one separator") {
+    val org = "| a |\n|---|\n|---|\n| b |\n"
+    assert(OrgExtract.toMarkdown(org) == "|a|\n|---|\n|b|")
+  }
+
   test("lists: +→-, N)→N., checkboxes normalize; unknown blocks unwrap") {
     val org =
       """- keep

@@ -196,6 +196,52 @@ class TextMarkupSpec extends AnyFunSuite {
         "- **-v** Verbose output.")
   }
 
+  test("typst: emphasis needs word boundaries; URLs/snake_case/2*3*4 safe") {
+    assert(TypstExtract.toMarkdown("run foo_bar_baz now and 2*3*4 stays") ==
+      "run foo_bar_baz now and 2*3*4 stays")
+    // an underscore-bearing URL inside an already-rendered link must not
+    // be re-processed as emphasis
+    assert(TypstExtract.toMarkdown("""see #link("http://e.x/a_b_c")[t] ok""") ==
+      "see [t](http://e.x/a_b_c) ok")
+    assert(TypstExtract.toMarkdown("real *bold* and _emph_ here") ==
+      "real **bold** and *emph* here")
+  }
+
+  test("fences widen past backtick runs in the body (all five dialects)") {
+    assert(TypstExtract.toMarkdown("```\n````x\n```")
+      .startsWith("`````\n````x\n`````"))
+    assert(DokuwikiExtract.toMarkdown("<code>\n```\ninner\n```\n</code>") ==
+      "````\n```\ninner\n```\n````")
+    assert(TroffExtract.toMarkdown(".nf\n```\nx\n.fi") == "````\n```\nx\n````")
+    assert(MdocExtract.toMarkdown(".Dt X 1\n.Bd -literal\n```\n.Ed") ==
+      "# X(1)\n\n````\n```\n````")
+    assert(PodExtract.toMarkdown("=head1 H\n\n    ```\n    x\n") ==
+      "# H\n\n````\n    ```\n    x\n````")
+  }
+
+  test("dokuwiki: slashes inside URLs never open or close emphasis") {
+    assert(DokuwikiExtract.toMarkdown("see http://a//b then http://c//d") ==
+      "see http://a//b then http://c//d")
+    assert(DokuwikiExtract.toMarkdown("a //real// span and [[http://x//y|L]]") ==
+      "a *real* span and [L](http://x//y)")
+  }
+
+  test("troff: an intervening request abandons a pending .TP tag") {
+    assert(TroffExtract.toMarkdown(".TP\n.SH OPTIONS\nPlain paragraph.") ==
+      "## OPTIONS\n\nPlain paragraph.")
+    // a font request after argless .SH becomes the heading, not a tag
+    assert(TroffExtract.toMarkdown(".SH\n.B LOUD\nBody.") ==
+      "## **LOUD**\n\nBody.")
+  }
+
+  test("pod: numeric E escapes stay literal; =for skips its paragraph") {
+    assert(PodExtract.toMarkdown("=head1 H\n\nIE<60>worksE<62> fine.") ==
+      "# H\n\nI<works> fine.")
+    assert(PodExtract.toMarkdown(
+      "=head1 H\n\n=for html\n<div>raw</div>\n\nReal para.") ==
+      "# H\n\nReal para.")
+  }
+
   test("empty inputs throw; real ingestion routes by explicit MIME") {
     intercept[IllegalArgumentException](TypstExtract.toMarkdown(""))
     intercept[IllegalArgumentException](TroffExtract.toMarkdown(".\\\" only\n"))
