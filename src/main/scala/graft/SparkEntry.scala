@@ -22,6 +22,28 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared corpus for the Gopher-repetition rows: 4-6 lines per doc, a
+    * duplicate line when id%2==0, a second duplicate pair when id%3==2,
+    * one bullet line, one ellipsis line — every signal arithmetic.
+    */
+  private def gopherDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tbl(s, dir, "documents").select(col("doc_id"))
+      .as[Long].map { id =>
+        val base = Seq(
+          s"alpha ${id % 5}",
+          if (id % 2 == 0) s"alpha ${id % 5}" else s"beta ${id % 7}",
+          s"- bullet ${id % 4}",
+          s"tail ${id % 6}...")
+        val extra = (id % 3) match {
+          case 2 => Seq(s"gamma ${id % 8}", s"gamma ${id % 8}")
+          case 1 => Seq(s"gamma ${id % 8}")
+          case _ => Seq.empty[String]
+        }
+        (id, (base ++ extra).mkString("\n"))
+      }.toDF("doc_id", "text")
+  }
+
   /** One cleanup hook per staged tmp path, however many times the query
     * runs in this JVM (Bench does best-of-2 passes over every query).
     */
@@ -1405,6 +1427,60 @@ object SparkEntry {
       graft.ops.TextAnalysis.removeBoilerplateParagraphs(docs, maxDocFreq = 10)
         .select(col("doc_id"), col("clean_text"))
     }),
+    "q_pii" -> ((s, dir) => {
+      // Dolma-style PII scrub: every doc embeds an email, a NANP phone,
+      // and an IPv4 literal (ids % 3 == 0 add a second email); the REAL
+      // scrubPii + withPiiCounts run and the oracle reconstructs the
+      // masked text and counts arithmetically — no regex in the oracle
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val extra = if (id % 3 == 0) s" cc jane${id % 7}@mail${id % 4}.org" else ""
+          val text = s"Contact bob${id % 7}@mail${id % 4}.com$extra " +
+            s"or (55${id % 10}) ${100 + id % 900}-${1000 + id % 9000} " +
+            s"from 10.${id % 256}.${(id * 3) % 256}.${(id * 7) % 256} today."
+          (id, text)
+        }.toDF("doc_id", "text")
+      graft.ops.TextAnalysis.withPiiCounts(docs)
+        .withColumn("clean", graft.ops.TextAnalysis.scrubPii(col("text")))
+        .select(col("doc_id"), col("clean"),
+          col("n_emails"), col("n_phones"), col("n_ips"))
+    }),
+    "q_gopher" -> ((s, dir) => {
+      // Gopher repetition signals over a 4-6 line doc (line count, dup
+      // line when id%2==0, a second dup pair when id%3==2, one bullet
+      // line, one ellipsis line); fractions are single IEEE divisions the
+      // oracle replays exactly
+      import s.implicits._
+      graft.ops.TextAnalysis.withRepetitionSignals(gopherDocs(s, dir))
+        .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+          col("top_line_frac"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"))
+    }),
+    "q_gopher_filter" -> ((s, dir) => {
+      // the repetition GATE over the same corpus: caps (0.2, 0.3, 0.9,
+      // 0.3) keep exactly the odd ids with 4 or 5 lines — the even ids
+      // die on dup-line, the 6-line odd ids on top-line
+      import s.implicits._
+      graft.ops.TextAnalysis.gopherRepetitionFilter(gopherDocs(s, dir),
+          maxDupLineFrac = 0.2, maxTopLineFrac = 0.3,
+          maxBulletFrac = 0.9, maxEllipsisFrac = 0.3)
+        .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+          col("top_line_frac"))
+    }),
+    "q_urls" -> ((s, dir) => {
+      // URL/domain hygiene: host + registered-domain extraction and a
+      // BROADCAST blocklist anti-join (RefinedWeb/C4's first stage) —
+      // domains site0-2.com are blocked, so survivors are id%10 >= 3
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          (id, s"https://www${id % 3}.site${id % 10}.com/p/$id?ref=${id % 5}")
+        }.toDF("doc_id", "url")
+      val blocklist = Seq("site0.com", "site1.com", "site2.com").toDF("domain")
+      graft.ops.WebOps.filterBlockedDomains(docs, blocklist)
+        .select(col("doc_id"), col("url"), col("host"), col("domain"))
+    }),
     "q_pdf_images" -> ((s, dir) => {
       // PDF image SIDECAR extraction: deterministic per-doc PDFs embed
       // DCTDecode image XObjects (passthrough: the payload IS the file) →
@@ -2401,6 +2477,50 @@ object SparkEntry {
         |  'unique body ' || doc_id || ' alpha' || chr(10) || chr(10) ||
         |  'unique tail ' || ((doc_id * 7) % 11) || ' of ' || doc_id AS clean_text
         |FROM documents""".stripMargin,
+    "q_pii" ->
+      // the masked text and per-kind counts reconstruct by concatenation
+      """SELECT doc_id,
+        |  'Contact |||EMAIL|||' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' cc |||EMAIL|||' ELSE '' END ||
+        |  ' or |||PHONE||| from |||IP||| today.' AS clean,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_emails,
+        |  CAST(1 AS INT) AS n_phones, CAST(1 AS INT) AS n_ips
+        |FROM documents""".stripMargin,
+    "q_gopher" ->
+      // n = 4 + id%3 lines; distinct loses one line per dup (alpha dup on
+      // even ids, gamma pair when id%3=2); every fraction is one IEEE
+      // division (+ one subtraction) in both engines
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 3 AS INT) AS n_lines,
+        |  1.0 - CAST(4 + doc_id % 3
+        |      - (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      - (CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(4 + doc_id % 3 AS DOUBLE) AS dup_line_frac,
+        |  CAST(CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 2 THEN 2 ELSE 1 END
+        |    AS DOUBLE) / CAST(4 + doc_id % 3 AS DOUBLE) AS top_line_frac,
+        |  CAST(1 AS DOUBLE) / CAST(4 + doc_id % 3 AS DOUBLE) AS bullet_line_frac,
+        |  CAST(1 AS DOUBLE) / CAST(4 + doc_id % 3 AS DOUBLE) AS ellipsis_line_frac
+        |FROM documents""".stripMargin,
+    "q_gopher_filter" ->
+      // caps (dup 0.2, top 0.3): even ids die on dup-line (0.25/0.333)
+      // or top-line (2/5), 6-line odd ids on top-line (1/3) — survivors
+      // are the odd ids with 4 or 5 lines
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 3 AS INT) AS n_lines,
+        |  CAST(0 AS DOUBLE) AS dup_line_frac,
+        |  CAST(1 AS DOUBLE) / CAST(4 + doc_id % 3 AS DOUBLE) AS top_line_frac
+        |FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id % 3 IN (0, 1)""".stripMargin,
+    "q_urls" ->
+      // blocked domains are site0-2.com → survivors id%10 >= 3; host and
+      // registered domain reconstruct by concatenation
+      """SELECT doc_id,
+        |  'https://www' || (doc_id % 3) || '.site' || (doc_id % 10) ||
+        |    '.com/p/' || doc_id || '?ref=' || (doc_id % 5) AS url,
+        |  'www' || (doc_id % 3) || '.site' || (doc_id % 10) || '.com' AS host,
+        |  'site' || (doc_id % 10) || '.com' AS domain
+        |FROM documents
+        |WHERE doc_id % 10 >= 3""".stripMargin,
     "q_pdf_images" ->
       // img-0 on page 1 always; img-1 on page 2 for even ids with >=2 pages
       """SELECT doc_id, 'img-0.jpeg' AS media_ref, 'image/jpeg' AS mime_type,

@@ -102,6 +102,90 @@ object TextAnalysis {
   /** SHA-256 content hash for exact dedup (matches DuckDB's sha256). */
   def contentHash(text: Column): Column = sha2(text, 256)
 
+  // ------------------------------------------------------------- PII scrub
+  // The standard pre-training scrub pass (public technique: Dolma,
+  // Soldaini et al. 2024 §PII; CCNet-descendant pipelines): emails, North
+  // American phone shapes, and IPv4 literals mask to fixed placeholder
+  // tokens so downstream dedup/quality stages see stable text. Chained
+  // regexp_replace stays inside whole-stage codegen — no UDF.
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\(\d{3}\) \d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Mask emails → `|||EMAIL|||`, phones → `|||PHONE|||`, IPv4 →
+    * `|||IP|||`. Email first (an address may embed digits), phone before
+    * IP (the dotted-quad pattern could otherwise eat a phone's area code
+    * in pathological inputs).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "|||EMAIL|||"),
+        PhoneRe, "|||PHONE|||"),
+      Ipv4Re, "|||IP|||")
+
+  /** Per-kind PII hit counts (audit columns a scrub job reports per
+    * partition alongside the masked text).
+    */
+  def withPiiCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+  }
+
+  // -------------------------------------------------- repetition signals
+  /** Gopher-style repetition/quality signals (public technique: Rae et
+    * al. 2021, "Scaling Language Models" §A1.1 repetition filters; reused
+    * by Dolma/RefinedWeb): fraction of duplicate lines, fraction of lines
+    * covered by the single most frequent line, bullet-start and
+    * ellipsis-end line fractions. All higher-order array functions over
+    * one split — codegen'd, per-row bounded (the top-line scan is
+    * O(distinct·lines) on one document, not a corpus shuffle).
+    *
+    * Fractions are emitted UNROUNDED: a single int/int division and
+    * subtraction produce bit-identical IEEE doubles across engines (see
+    * [[qualityScore]]).
+    */
+  def withRepetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val n = greatest(size(lines).cast("double"), lit(1.0))
+    val topCount = array_max(transform(array_distinct(lines),
+      l => size(filter(lines, x => x === l))))
+    docs
+      .withColumn("n_lines", size(lines))
+      .withColumn("dup_line_frac",
+        lit(1.0) - size(array_distinct(lines)).cast("double") / n)
+      .withColumn("top_line_frac", topCount.cast("double") / n)
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+          .cast("double") / n)
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("double") / n)
+  }
+
+  /** The Gopher repetition gate over [[withRepetitionSignals]] — keep a
+    * document only when every signal sits under its cap. The dup-line
+    * (0.30), bullet (0.90), and ellipsis (0.30) caps are the paper's;
+    * the top-line cap guards the same failure mode as its duplicate-
+    * paragraph family with this operator's line-level signal.
+    */
+  def gopherRepetitionFilter(
+      docs: DataFrame,
+      maxDupLineFrac: Double = 0.30,
+      maxTopLineFrac: Double = 0.30,
+      maxBulletFrac: Double = 0.90,
+      maxEllipsisFrac: Double = 0.30,
+      textCol: String = "text"): DataFrame =
+    withRepetitionSignals(docs, textCol)
+      .filter(col("dup_line_frac") <= maxDupLineFrac &&
+        col("top_line_frac") <= maxTopLineFrac &&
+        col("bullet_line_frac") <= maxBulletFrac &&
+        col("ellipsis_line_frac") <= maxEllipsisFrac)
+
   /** Corpus-level boilerplate-paragraph removal — the CCNet-style
     * line/paragraph dedup a web-scale training pipeline runs before
     * document-level dedup (public technique: CCNet, Wenzek et al. 2019;

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{TextAnalysis, WebOps}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PII scrub, Gopher repetition signals, and URL/domain hygiene — the
+  * round-5 training-pipeline additions (q_pii / q_gopher / q_urls carry
+  * the at-scale oracle gates; this spec pins the edge semantics).
+  */
+class WebTextOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Pipeline.session("local[4]", 4, "graft-test")
+  import spark.implicits._
+
+  test("scrubPii masks all three kinds and leaves clean text alone") {
+    val df = Seq(
+      (1L, "Mail a@b.co or 555-123-4567; host 192.168.0.1 ok"),
+      (2L, "No pii here, just 3.14 and v1.2.3 and x@ incomplete"))
+      .toDF("doc_id", "text")
+      .withColumn("clean", TextAnalysis.scrubPii(col("text")))
+    val out = df.orderBy("doc_id").select("clean").as[String].collect()
+    assert(out(0) == "Mail |||EMAIL||| or |||PHONE|||; host |||IP||| ok")
+    // a dotted version string is NOT an IP (needs four octets), a bare
+    // 3.14 is not either, and a lone @ is not an email
+    assert(out(1) == "No pii here, just 3.14 and v1.2.3 and x@ incomplete")
+  }
+
+  test("withPiiCounts counts per kind") {
+    val row = TextAnalysis.withPiiCounts(
+      Seq((1L, "a@b.co c@d.org (123) 456-7890 10.0.0.1 10.0.0.2")).toDF("doc_id", "text"))
+      .select("n_emails", "n_phones", "n_ips").as[(Int, Int, Int)].head()
+    assert(row == ((2, 1, 2)))
+  }
+
+  test("repetition signals: single line, all dups, bullets and ellipses") {
+    val df = TextAnalysis.withRepetitionSignals(Seq(
+      (1L, "only line"),
+      (2L, "x\nx\nx\nx"),
+      (3L, "- a\n* b\n• c\nend…")).toDF("doc_id", "text"))
+      .select("doc_id", "n_lines", "dup_line_frac", "top_line_frac",
+        "bullet_line_frac", "ellipsis_line_frac")
+      .as[(Long, Int, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(df(0) == ((1L, 1, 0.0, 1.0, 0.0, 0.0)))
+    assert(df(1) == ((2L, 4, 0.75, 1.0, 0.0, 0.0)))
+    assert(df(2) == ((3L, 4, 0.0, 0.25, 0.75, 0.25)))
+  }
+
+  test("gopherRepetitionFilter keeps clean docs, drops repetitive ones") {
+    val kept = TextAnalysis.gopherRepetitionFilter(Seq(
+      (1L, "a\nb\nc\nd\ne"),
+      (2L, "x\nx\nx\ny")).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("urlHost/registeredDomain: subdomains collapse, single label passes") {
+    val df = Seq(
+      (1L, "https://news.site4.com/a/b?q=1"),
+      (2L, "http://localhost/x"),
+      (3L, "https://site9.com/p")).toDF("doc_id", "url")
+    val out = WebOps.withUrlParts(df).orderBy("doc_id")
+      .select("host", "domain").as[(String, String)].collect()
+    assert(out(0) == (("news.site4.com", "site4.com")))
+    assert(out(1) == (("localhost", "localhost")))
+    assert(out(2) == (("site9.com", "site9.com")))
+  }
+
+  test("filterBlockedDomains broadcasts the blocklist (plan-locked)") {
+    val docs = Seq((1L, "https://a.bad.com/x"), (2L, "https://ok.good.com/y"))
+      .toDF("doc_id", "url")
+    val block = Seq("bad.com", "bad.com").toDF("domain") // dup collapses
+    val out = WebOps.filterBlockedDomains(docs, block)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+}
