@@ -1468,6 +1468,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
           col("top_line_frac"))
     }),
+    "q_dupwindows" -> ((s, dir) => {
+      // exact-substring (k-token window) duplication fraction: even ids
+      // share a 6-token run (c0..c5) plus two unique tokens → 5 windows
+      // of which the 3 fully-shared ones are corpus-duplicated (3/5);
+      // odd ids are 4 unique tokens → one unique window (0/1)
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val text =
+            if (id % 2 == 0) s"c0 c1 c2 c3 c4 c5 x$id y$id"
+            else s"a$id b$id c$id d$id"
+          (id, text)
+        }.toDF("doc_id", "text")
+      graft.ops.Dedup.withDuplicateWindowFraction(docs, k = 4)
+        .select(col("doc_id"), col("n_windows"), col("dup_window_frac"))
+    }),
     "q_urls" -> ((s, dir) => {
       // URL/domain hygiene: host + registered-domain extraction and a
       // BROADCAST blocklist anti-join (RefinedWeb/C4's first stage) —
@@ -2511,6 +2527,14 @@ object SparkEntry {
         |  CAST(1 AS DOUBLE) / CAST(4 + doc_id % 3 AS DOUBLE) AS top_line_frac
         |FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id % 3 IN (0, 1)""".stripMargin,
+    "q_dupwindows" ->
+      // even ids: 8 tokens → 5 windows, 3 duplicated corpus-wide; odd
+      // ids: one unique window; fractions are single IEEE divisions
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS INT) AS n_windows,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS DOUBLE) / CAST(5 AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS dup_window_frac
+        |FROM documents""".stripMargin,
     "q_urls" ->
       // blocked domains are site0-2.com → survivors id%10 >= 3; host and
       // registered domain reconstruct by concatenation

@@ -339,6 +339,68 @@ object Dedup {
     }
   }
 
+  // -------------------------------------------------- exact-substring dedup
+
+  /** Exact-substring duplication fraction — the suffix-array ExactSubstr
+    * family of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed as a Spark corpus join: slide
+    * a k-token window over every document, count the DISTINCT documents
+    * each window appears in, and report per document the fraction of its
+    * windows that also occur in another document. Documents shorter than
+    * k tokens have no windows and report 0.0.
+    *
+    * Scale shape: one explode (linear in corpus tokens), one window-key
+    * aggregate with partial (map-side) combine, one semi-style join-back,
+    * one per-doc aggregate. Windows shuffle as 64-bit xxhash64 keys, not
+    * strings — at k=8 that is ~10× narrower on the wire; a hash collision
+    * falsely marks one window pair duplicated with p ≈ n²/2⁶⁵ (harmless
+    * noise in a fraction signal; exact span REMOVAL would key on the
+    * text). No all-pairs stage; a boilerplate window shared by millions
+    * of docs is ONE aggregate row (count, not pair expansion), so hot
+    * windows cannot blow up the plan.
+    *
+    * @return docs + `n_windows` (int) + `dup_window_frac` (double, one
+    *         IEEE division)
+    */
+  def withDuplicateWindowFraction(
+      docs: DataFrame,
+      k: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), k)).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("win"))
+    val dupWins = wins.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") > 1)
+      .select("win")
+    val perDoc = wins
+      .join(dupWins.withColumn("is_dup", lit(1)), Seq("win"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_windows"),
+        (sum(coalesce(col("is_dup"), lit(0))).cast("double") /
+          count(lit(1)).cast("double")).as("dup_window_frac"))
+    docs.join(perDoc, docs(idCol) === perDoc("doc_id"), "left")
+      .drop(perDoc("doc_id"))
+      .withColumn("n_windows", coalesce(col("n_windows"), lit(0)))
+      .withColumn("dup_window_frac",
+        coalesce(col("dup_window_frac"), lit(0.0)))
+  }
+
+  /** The ExactSubstr gate: drop documents whose duplicate-window fraction
+    * exceeds `maxDupFrac` (Lee et al. drop the duplicated SPANS; at
+    * pipeline granularity the document-level gate is the standard
+    * deployment, cf. RefinedWeb §3.3).
+    */
+  def exactSubstrFilter(
+      docs: DataFrame,
+      maxDupFrac: Double = 0.5,
+      k: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    withDuplicateWindowFraction(docs, k, textCol, idCol)
+      .filter(col("dup_window_frac") <= maxDupFrac)
+
   // ----------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates above a threshold, LSH-bucketed by

@@ -68,6 +68,31 @@ class WebTextOpsSpec extends AnyFunSuite {
     assert(out(2) == (("site9.com", "site9.com")))
   }
 
+  test("duplicate-window fraction: identical docs 1.0, short docs 0 windows") {
+    val df = graft.ops.Dedup.withDuplicateWindowFraction(Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"),
+      (3L, "only three words"),
+      (4L, "wholly unique text runs through here now")).toDF("doc_id", "text"),
+      k = 4)
+      .select("doc_id", "n_windows", "dup_window_frac")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(df(0) == ((1L, 2, 1.0))) // both windows shared with doc 2
+    assert(df(1) == ((2L, 2, 1.0)))
+    assert(df(2) == ((3L, 0, 0.0))) // < k tokens: no windows
+    assert(df(3) == ((4L, 4, 0.0)))
+  }
+
+  test("exactSubstrFilter drops heavily-duplicated docs") {
+    val kept = graft.ops.Dedup.exactSubstrFilter(Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"),
+      (3L, "wholly unique text runs through here now")).toDF("doc_id", "text"),
+      maxDupFrac = 0.5, k = 4)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(3L))
+  }
+
   test("filterBlockedDomains broadcasts the blocklist (plan-locked)") {
     val docs = Seq((1L, "https://a.bad.com/x"), (2L, "https://ok.good.com/y"))
       .toDF("doc_id", "url")
