@@ -109,8 +109,15 @@ object TextAnalysis {
   // tokens so downstream dedup/quality stages see stable text. Chained
   // regexp_replace stays inside whole-stage codegen — no UDF.
   val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  val PhoneRe = """\(\d{3}\) \d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"""
-  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  // both alternatives boundary-terminated: '(555) 123-45678' (five-digit
+  // tail — not a NANP number) must not partial-mask to '|||PHONE|||8'
+  val PhoneRe = """\(\d{3}\) \d{3}-\d{4}\b|\b\d{3}-\d{3}-\d{4}\b"""
+  // octets range-checked (0-255, no leading zeros): '999.999.999.999' and
+  // long version strings stay text; a 4-part version that IS a valid
+  // dotted quad still masks — inherent to regex PII, as in the reference
+  // pipelines
+  private val Octet = """(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"""
+  val Ipv4Re = s"""\\b$Octet(?:\\.$Octet){3}\\b"""
 
   /** Mask emails → `|||EMAIL|||`, phones → `|||PHONE|||`, IPv4 →
     * `|||IP|||`. Email first (an address may embed digits), phone before
@@ -144,12 +151,15 @@ object TextAnalysis {
     * one split — codegen'd, per-row bounded (the top-line scan is
     * O(distinct·lines) on one document, not a corpus shuffle).
     *
-    * Fractions are emitted UNROUNDED: a single int/int division and
-    * subtraction produce bit-identical IEEE doubles across engines (see
-    * [[qualityScore]]).
+    * Lines split CRLF-safely and BLANK lines are excluded before any
+    * fraction — a clean multi-paragraph document's blank separators must
+    * not register as "duplicate lines" (the published filters compute
+    * over content lines). Fractions are emitted UNROUNDED: a single
+    * int/int division and subtraction produce bit-identical IEEE doubles
+    * across engines (see [[qualityScore]]).
     */
   def withRepetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    val lines = filter(split(col(textCol), "\r?\n"), l => trim(l) =!= "")
     val n = greatest(size(lines).cast("double"), lit(1.0))
     val topCount = array_max(transform(array_distinct(lines),
       l => size(filter(lines, x => x === l))))
@@ -171,7 +181,10 @@ object TextAnalysis {
     * document only when every signal sits under its cap. The dup-line
     * (0.30), bullet (0.90), and ellipsis (0.30) caps are the paper's;
     * the top-line cap guards the same failure mode as its duplicate-
-    * paragraph family with this operator's line-level signal.
+    * paragraph family with this operator's line-level signal. Documents
+    * under `minLines` bypass the gate entirely: top_line_frac ≥ 1/n makes
+    * the caps meaningless on very short documents, which the published
+    * pipelines handle with a separate length gate first.
     */
   def gopherRepetitionFilter(
       docs: DataFrame,
@@ -179,12 +192,14 @@ object TextAnalysis {
       maxTopLineFrac: Double = 0.30,
       maxBulletFrac: Double = 0.90,
       maxEllipsisFrac: Double = 0.30,
+      minLines: Int = 4,
       textCol: String = "text"): DataFrame =
     withRepetitionSignals(docs, textCol)
-      .filter(col("dup_line_frac") <= maxDupLineFrac &&
-        col("top_line_frac") <= maxTopLineFrac &&
-        col("bullet_line_frac") <= maxBulletFrac &&
-        col("ellipsis_line_frac") <= maxEllipsisFrac)
+      .filter(col("n_lines") < minLines ||
+        (col("dup_line_frac") <= maxDupLineFrac &&
+          col("top_line_frac") <= maxTopLineFrac &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac))
 
   /** Corpus-level boilerplate-paragraph removal — the CCNet-style
     * line/paragraph dedup a web-scale training pipeline runs before

@@ -17,16 +17,38 @@ object WebOps {
   /** Host part of a URL (`https://a.b.com/p?q` → `a.b.com`). */
   def urlHost(url: Column): Column = parse_url(url, lit("HOST"))
 
-  /** Registered domain approximation: the last two host labels
-    * (`news.site4.com` → `site4.com`). A public-suffix-list lookup is the
-    * production refinement; two labels is the deterministic, dependency-
-    * free core that matches the common .com/.org/.net case. Single-label
-    * hosts pass through unchanged (try_element_at past the head is null —
-    * ANSI-safe — and concat_ws skips nulls).
+  /** The common multi-label public suffixes: when a host's last two
+    * labels land here, the registered domain needs THREE labels
+    * (`badsite.co.uk`, not `co.uk`). A full public-suffix-list lookup is
+    * the production refinement; this built-in core covers the major
+    * ccTLD second-level registries so a blocklist entry like
+    * `badsite.co.uk` is not silently unmatched.
+    */
+  val MultiLabelSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.za", "org.za", "net.za", "com.mx", "org.mx",
+    "co.nz", "net.nz", "org.nz", "com.ar", "com.tr", "com.tw",
+    "co.kr", "or.kr", "com.sg", "com.hk", "com.my", "co.id",
+    "com.eg", "com.sa", "co.th", "com.vn", "com.ph", "com.pk")
+
+  /** Registered domain approximation: the last two host labels — or the
+    * last three when the final two form a known multi-label public
+    * suffix ([[MultiLabelSuffixes]]). Single-label hosts pass through
+    * unchanged (try_element_at past the head is null — ANSI-safe — and
+    * concat_ws skips nulls).
     */
   def registeredDomain(url: Column): Column = {
     val parts = split(urlHost(url), "\\.")
-    concat_ws(".", try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
+    val lastTwo =
+      concat_ws(".", try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
+    when(lastTwo.isInCollection(MultiLabelSuffixes),
+      concat_ws(".", try_element_at(parts, lit(-3)), lastTwo))
+      .otherwise(lastTwo)
   }
 
   /** Add `host` and `domain` columns derived from `urlCol`. */

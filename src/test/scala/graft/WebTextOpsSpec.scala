@@ -68,6 +68,53 @@ class WebTextOpsSpec extends AnyFunSuite {
     assert(out(2) == (("site9.com", "site9.com")))
   }
 
+  test("pii boundaries: 5-digit phone tails and out-of-range IPs stay text") {
+    val out = Seq(
+      (1L, "call (555) 123-45678 ext"),   // not NANP: no partial mask
+      (2L, "code 999.999.999.999 fails"), // octets out of range
+      (3L, "at 10.2.3.4 and 0.0.0.0 ok")) // valid quads mask
+      .toDF("doc_id", "text")
+      .withColumn("clean", TextAnalysis.scrubPii(col("text")))
+      .orderBy("doc_id").select("clean").as[String].collect()
+    assert(out(0) == "call (555) 123-45678 ext")
+    assert(out(1) == "code 999.999.999.999 fails")
+    assert(out(2) == "at |||IP||| and |||IP||| ok")
+  }
+
+  test("repetition signals skip blank lines and CRLF carriage returns") {
+    val doc = "p1\r\n\r\np2\r\n\r\np3...\r\n"
+    val row = TextAnalysis.withRepetitionSignals(Seq((1L, doc)).toDF("doc_id", "text"))
+      .select("n_lines", "dup_line_frac", "ellipsis_line_frac")
+      .as[(Int, Double, Double)].head()
+    // 3 content lines, no dups from the blank separators, the CRLF line
+    // still ends with '...'
+    assert(row == ((3, 0.0, 1.0 / 3.0)))
+  }
+
+  test("gopher gate bypasses sub-minLines docs instead of auto-rejecting") {
+    val kept = TextAnalysis.gopherRepetitionFilter(Seq(
+      (1L, "Title\nBody text here"),  // 2 lines: top=0.5 but under minLines
+      (2L, "x\nx\nx\nx\ny")).toDF("doc_id", "text")) // 5 lines, dup 0.6
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L))
+  }
+
+  test("registeredDomain: multi-label public suffixes take three labels") {
+    val df = Seq(
+      (1L, "https://badsite.co.uk/x"),
+      (2L, "https://news.badsite.co.uk/y"),
+      (3L, "https://co.uk/odd")).toDF("doc_id", "url")
+    val out = WebOps.withUrlParts(df).orderBy("doc_id")
+      .select("domain").as[String].collect()
+    assert(out(0) == "badsite.co.uk")
+    assert(out(1) == "badsite.co.uk")
+    assert(out(2) == "co.uk")
+    // a co.uk blocklist entry now actually blocks
+    val kept = WebOps.filterBlockedDomains(df, Seq("badsite.co.uk").toDF("domain"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(3L))
+  }
+
   test("duplicate-window fraction: identical docs 1.0, short docs 0 windows") {
     val df = graft.ops.Dedup.withDuplicateWindowFraction(Seq(
       (1L, "one two three four five"),
