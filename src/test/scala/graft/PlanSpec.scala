@@ -72,6 +72,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p) // hot-paragraph filter is an anti-join
   }
 
+  test("exact-substring dedup: aggregates + joins, no window, no cross join") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, s"c0 c1 c2 c3 c4 unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.withDuplicateWindowFraction(docs, k = 4))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // window-df aggregation must partial-combine map-side before the shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
   test("dedup plans: survivors and banded LSH have no window sort") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"some words $i repeated $i here again and again"))
