@@ -1468,6 +1468,41 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
           col("top_line_frac"))
     }),
+    "q_sample" -> ((s, dir) => {
+      // deterministic content-hash sampling over the REAL documents
+      // table: keep sha256(text) hex-prefix < '29' (≈16%) — reproducible
+      // across runs and cluster sizes, oracle = the same predicate in
+      // DuckDB's sha256
+      graft.ops.TextAnalysis.sampleByContentHash(
+          tbl(s, dir, "documents"), keepHexBelow = "29")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    "q_compose" -> ((s, dir) => {
+      // the COMPOSED web-pipeline: broadcast URL-blocklist anti-join →
+      // PII scrub → Gopher repetition gate, all ONE Catalyst plan. Even
+      // ids die on dup-line, blocked domains (id%10 < 3) never reach the
+      // text stages; survivors are odd ids with id%10 >= 3
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val line1 = s"Contact bob${id % 7}@mail${id % 4}.com now"
+          val lines = Seq(
+            line1,
+            if (id % 2 == 0) line1 else s"beta ${id % 7}",
+            s"- bullet ${id % 4}",
+            s"tail ${id % 6}...")
+          (id, s"https://www${id % 3}.site${id % 10}.com/p/$id",
+            lines.mkString("\n"))
+        }.toDF("doc_id", "url", "text")
+      val blocklist = Seq("site0.com", "site1.com", "site2.com").toDF("domain")
+      val unblocked = graft.ops.WebOps.filterBlockedDomains(docs, blocklist)
+        .withColumn("text", graft.ops.TextAnalysis.scrubPii(col("text")))
+      graft.ops.TextAnalysis.gopherRepetitionFilter(unblocked,
+          maxDupLineFrac = 0.2, maxTopLineFrac = 0.3,
+          maxBulletFrac = 0.9, maxEllipsisFrac = 0.3)
+        .select(col("doc_id"), col("domain"), col("text"),
+          col("dup_line_frac"))
+    }),
     "q_dupwindows" -> ((s, dir) => {
       // exact-substring (k-token window) duplication fraction: even ids
       // share a 6-token run (c0..c5) plus two unique tokens → 5 windows
@@ -2527,6 +2562,23 @@ object SparkEntry {
         |  CAST(1 AS DOUBLE) / CAST(4 + doc_id % 3 AS DOUBLE) AS top_line_frac
         |FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id % 3 IN (0, 1)""".stripMargin,
+    "q_sample" ->
+      // identical sha256 predicate, straight over the real table
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE substr(sha256(text), 1, 2) < '29'""".stripMargin,
+    "q_compose" ->
+      // survivors: odd ids (even die on dup-line 0.25 > 0.2) whose
+      // domain is unblocked (id%10 >= 3); the scrubbed text and the
+      // zero dup fraction reconstruct arithmetically
+      """SELECT doc_id,
+        |  'site' || (doc_id % 10) || '.com' AS domain,
+        |  'Contact |||EMAIL||| now' || chr(10) ||
+        |  'beta ' || (doc_id % 7) || chr(10) ||
+        |  '- bullet ' || (doc_id % 4) || chr(10) ||
+        |  'tail ' || (doc_id % 6) || '...' AS text,
+        |  CAST(0 AS DOUBLE) AS dup_line_frac
+        |FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id % 10 >= 3""".stripMargin,
     "q_dupwindows" ->
       // even ids: 8 tokens → 5 windows, 3 duplicated corpus-wide; odd
       // ids: one unique window; fractions are single IEEE divisions

@@ -201,6 +201,25 @@ object TextAnalysis {
           col("bullet_line_frac") <= maxBulletFrac &&
           col("ellipsis_line_frac") <= maxEllipsisFrac))
 
+  /** Deterministic content-hash sampling for corpus mixing: keep a
+    * document when the hex prefix of sha256(text) sorts below the
+    * threshold (e.g. "29" keeps ≈ 0x29/0x100 ≈ 16%). Reproducible across
+    * runs, partitionings, and cluster sizes — the property a training-mix
+    * recipe needs (random() is not) — and engine-portable for the oracle
+    * (DuckDB's sha256 emits the same lowercase hex). Pure projection +
+    * filter: no shuffle, pushes past column pruning.
+    */
+  def sampleByContentHash(
+      docs: DataFrame,
+      keepHexBelow: String,
+      textCol: String = "text"): DataFrame = {
+    require(keepHexBelow.nonEmpty &&
+      keepHexBelow.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"lowercase hex threshold required: $keepHexBelow")
+    docs.filter(
+      substring(sha2(col(textCol), 256), 1, keepHexBelow.length) < keepHexBelow)
+  }
+
   /** Corpus-level boilerplate-paragraph removal — the CCNet-style
     * line/paragraph dedup a web-scale training pipeline runs before
     * document-level dedup (public technique: CCNet, Wenzek et al. 2019;

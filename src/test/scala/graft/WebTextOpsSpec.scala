@@ -140,6 +140,17 @@ class WebTextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(3L))
   }
 
+  test("content-hash sampling: deterministic, monotone in threshold") {
+    val docs = (0 until 200).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    def ids(t: String) = TextAnalysis.sampleByContentHash(docs, t)
+      .select("doc_id").as[Long].collect().toSet
+    val a = ids("29"); val b = ids("29"); val small = ids("10")
+    assert(a == b) // reproducible, unlike random()
+    assert(small.subsetOf(a)) // lower threshold = strict subsample
+    assert(a.nonEmpty && a.size < 200)
+    intercept[IllegalArgumentException](ids("2G")) // not lowercase hex
+  }
+
   test("filterBlockedDomains broadcasts the blocklist (plan-locked)") {
     val docs = Seq((1L, "https://a.bad.com/x"), (2L, "https://ok.good.com/y"))
       .toDF("doc_id", "url")
