@@ -66,7 +66,10 @@ object WebOps {
       docs: DataFrame,
       blocklist: DataFrame,
       urlCol: String = "url"): DataFrame = {
-    val block = broadcast(blocklist.toDF("domain").dropDuplicates("domain"))
+    // no dedup: LEFT ANTI drops a row on ANY right-side match, so
+    // duplicate blocklist keys are harmless — deduping would only add an
+    // aggregate + exchange to the broadcast side
+    val block = broadcast(blocklist.toDF("domain"))
     withUrlParts(docs, urlCol).join(block, Seq("domain"), "left_anti")
   }
 }
