@@ -88,6 +88,44 @@ class FuzzRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("bit-flipped REAL containers (zip/CFB/PDF family) never escape") {
+    import graft.extract._
+    val containers: Seq[(String, String, Array[Byte])] = Seq(
+      ("application/pdf", "pdf",
+        PdfText.buildTextPdf(Seq(Seq("Page one text"), Seq("Page two")))),
+      ("application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "docx", DocxExtract.buildDocx("T", Seq(DocxExtract.Para("# Head"),
+          DocxExtract.Para("Body text")))),
+      ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "xlsx", OfficeExtract.buildXlsx("T", Seq(("S", Seq(Seq("a", "1")))))),
+      ("application/epub+zip", "epub",
+        EpubExtract.buildEpub("T", Seq("<html><body><p>ch</p></body></html>"))),
+      ("application/vnd.oasis.opendocument.spreadsheet", "ods",
+        OdsExtract.buildOds("T", Seq(("S", Seq(Seq("a", "1")))))),
+      ("application/msword", "doc", DocExtract.buildDoc("T", Seq("Para one"))),
+      ("application/vnd.ms-powerpoint", "ppt",
+        PptExtract.buildPpt("T", Seq(("Slide", Seq("line"))))),
+      ("application/vnd.ms-excel", "xls",
+        XlsExtract.buildXls("T", Seq(("S", Seq(Seq(XlsExtract.XlsStr("a"))))))),
+      ("application/vnd.ms-excel.sheet.binary.macroEnabled.12", "xlsb",
+        XlsbExtract.buildXlsb("T", Seq(("S", Seq(Seq(XlsExtract.XlsStr("a"))))))),
+      ("application/rtf", "rtf",
+        RtfExtract.buildRtf("T", Seq("Body")).getBytes("ISO-8859-1")))
+    val r = rng(0xbeef)
+    for ((mime, tag, full) <- containers; trial <- 0 until 12) {
+      val mutated = full.clone()
+      val flips = 1 + r.nextInt(6)
+      for (_ <- 0 until flips)
+        mutated(r.nextInt(mutated.length)) = r.nextInt(256).toByte
+      val t0 = System.nanoTime()
+      runOne(mime, mutated)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms < 30000, s"$tag trial $trial took ${ms}ms")
+      // truncation sweep too: container indexes point past EOF
+      runOne(mime, full.take(1 + r.nextInt(full.length)))
+    }
+  }
+
   test("pathological nesting and unterminated constructs stay bounded") {
     val cases = Seq(
       ("application/docbook+xml",
