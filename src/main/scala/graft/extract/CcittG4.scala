@@ -3,18 +3,21 @@ package graft.extract
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-/** CCITT Group 4 (ITU-T T.6, pure 2D/MMR) codec — the compression nearly
-  * every scanned-PDF image stream uses (`/CCITTFaxDecode` with `/K < 0`).
-  * From-scratch implementation of the public Recommendation: per-row 2D
+/** CCITT Group 4 (ITU-T T.6, pure 2D/MMR) and Group 3 (ITU-T T.4) codecs —
+  * the compressions scanned-PDF image streams use (`/CCITTFaxDecode`).
+  * From-scratch implementation of the public Recommendations: per-row 2D
   * coding against the reference line with Vertical (V0/VR1-3/VL1-3), Pass,
   * and Horizontal modes, the T.4 modified-Huffman white/black run tables
-  * for Horizontal mode, and the shared extended makeup codes (1792-2560).
+  * (1D rows and Horizontal mode), the shared extended makeup codes
+  * (1792-2560), and the T.4 EOL/tag-bit framing for G3:
   *
-  * Decoder tolerance: input may end without EOFB (PDF streams routinely
-  * omit it); `encodedByteAlign` restarts each row on a byte boundary.
-  * Out of scope (documented): K = 0 (pure 1D G3) and K > 0 (mixed G3 2D) —
-  * wild-PDF scans overwhelmingly use K < 0; those streams keep the
-  * positioned placeholder like JBIG2.
+  *   - `/K < 0`  → [[decode]] (G4: pure 2D/MMR, EOFB-tolerant)
+  *   - `/K = 0`  → [[decodeG3]] (pure 1D MH rows, optional EOLs)
+  *   - `/K > 0`  → [[decodeG3]] (mixed: EOL + tag bit selects 1D/2D row)
+  *
+  * Decoder tolerance: input may end without EOFB/RTC (PDF streams
+  * routinely omit them); `encodedByteAlign` restarts each row on a byte
+  * boundary; K = 0 rows may arrive with or without EOLs.
   *
   * Pixel buffers are 1 byte/pixel, 1 = black, row-major `columns × rows`.
   * Correctness evidence: encoder↔decoder round-trip property tests PLUS
@@ -166,6 +169,114 @@ object CcittG4 {
     throw new IllegalStateException("runaway makeup chain")
   }
 
+  /** Decode ONE 2D-coded row against the reference transitions. Returns
+    * the row's transition positions, or null when the bits at the cursor
+    * are an EOL/EOFB prefix (the caller decides what that means: EOFB in
+    * G4, framing in mixed G3).
+    */
+  private def decode2DRow(r: BitReader, ref: Array[Int], columns: Int): Array[Int] = {
+    val cur = ArrayBuffer[Int]()
+    var a0 = -1
+    var color = 0 // 0 = white
+    while (a0 < columns) {
+      // b1: first reference transition > a0 with opposite color to a0's
+      // color; transitions alternate starting with white→black
+      var bi = 0
+      while (bi < ref.length && (ref(bi) <= a0 || (bi & 1) != color)) bi += 1
+      val b1 = if (bi < ref.length) ref(bi) else columns
+      val b2 = if (bi + 1 < ref.length) ref(bi + 1) else columns
+      // mode dispatch by prefix
+      val before = a0
+      if (r.eof) return cur.toArray
+      else if (r.peek(1) == 1) { // V0: 1
+        r.pos += 1
+        cur += b1; a0 = b1; color ^= 1
+      } else if (r.peek(3) == 3) { // 011 VR1
+        r.pos += 3
+        cur += b1 + 1; a0 = b1 + 1; color ^= 1
+      } else if (r.peek(3) == 2) { // 010 VL1
+        r.pos += 3
+        cur += b1 - 1; a0 = b1 - 1; color ^= 1
+      } else if (r.peek(3) == 1) { // 001 Horizontal
+        r.pos += 3
+        val a0p = math.max(a0, 0)
+        val r1 = readRun(r, color == 1)
+        val r2 = readRun(r, color == 0)
+        val a1 = a0p + r1
+        val a2 = a1 + r2
+        cur += a1; cur += a2
+        a0 = a2 // color unchanged (two runs)
+      } else if (r.peek(4) == 1) { // 0001 Pass
+        r.pos += 4
+        a0 = b2 // color unchanged, no transition recorded
+      } else if (r.peek(6) == 3) { // 000011 VR2
+        r.pos += 6
+        cur += b1 + 2; a0 = b1 + 2; color ^= 1
+      } else if (r.peek(6) == 2) { // 000010 VL2
+        r.pos += 6
+        cur += b1 - 2; a0 = b1 - 2; color ^= 1
+      } else if (r.peek(7) == 3) { // 0000011 VR3
+        r.pos += 7
+        cur += b1 + 3; a0 = b1 + 3; color ^= 1
+      } else if (r.peek(7) == 2) { // 0000010 VL3
+        r.pos += 7
+        cur += b1 - 3; a0 = b1 - 3; color ^= 1
+      } else if (r.peek(12) == 1) { // EOL/EOFB prefix 000000000001
+        return null
+      } else throw new IllegalStateException(s"bad 2D mode code at bit ${r.pos}")
+      // crafted streams can loop without advancing (e.g. VL on b1=a0+1)
+      if (a0 <= before && a0 >= 0)
+        throw new IllegalStateException("2D decoder made no progress")
+    }
+    cur.toArray
+  }
+
+  /** Decode ONE 1D (pure MH) row: alternating white-first runs until the
+    * row is full. Returns the transition positions.
+    */
+  private def decode1DRow(r: BitReader, columns: Int): Array[Int] = {
+    val cur = ArrayBuffer[Int]()
+    var pos = 0
+    var color = 0
+    var guard = 0
+    while (pos < columns && !r.eof) {
+      guard += 1
+      if (guard > columns + 8)
+        throw new IllegalStateException("1D row made no progress")
+      pos += readRun(r, color == 1)
+      cur += math.min(pos, columns)
+      color ^= 1
+    }
+    cur.toArray
+  }
+
+  /** Paint one row of `out` from its transition list. */
+  private def paintRow(out: Array[Byte], row: Int, columns: Int,
+      cur: Array[Int]): Unit = {
+    var x = 0
+    var c = 0
+    var t = 0
+    val base = row * columns
+    while (x < columns) {
+      val nextT = if (t < cur.length) math.min(cur(t), columns) else columns
+      if (c == 1) java.util.Arrays.fill(out, base + x, base + math.max(x, nextT), 1.toByte)
+      x = math.max(x, nextT)
+      c ^= 1
+      t += 1
+    }
+  }
+
+  /** Consume an EOL (≥11 zero fill/sync bits then a 1). Restores the
+    * cursor and returns false when the bits there are not an EOL.
+    */
+  private def consumeEol(r: BitReader): Boolean = {
+    val start = r.pos
+    var zeros = 0
+    while (!r.eof && r.peek(1) == 0 && zeros <= 64) { r.pos += 1; zeros += 1 }
+    if (!r.eof && zeros >= 11 && zeros <= 64) { r.pos += 1; true }
+    else { r.pos = start; false }
+  }
+
   /** G4 decode → 1 byte/pixel (1 = black). Throws on malformed input —
     * callers convert to the placeholder/failure channel.
     */
@@ -181,80 +292,129 @@ object CcittG4 {
     var row = 0
     while (row < rows && !r.eof) {
       if (encodedByteAlign) r.align()
-      val cur = ArrayBuffer[Int]()
-      var a0 = -1
-      var color = 0 // 0 = white
-      var done = false
-      while (!done && a0 < columns) {
-        // b1: first reference transition > a0 with opposite color to a0's
-        // color; transitions alternate starting with white→black
-        var bi = 0
-        while (bi < ref.length && (ref(bi) <= a0 || (bi & 1) != color)) bi += 1
-        val b1 = if (bi < ref.length) ref(bi) else columns
-        val b2 = if (bi + 1 < ref.length) ref(bi + 1) else columns
-        // mode dispatch by prefix
-        val before = a0
-        if (r.eof) { done = true }
-        else if (r.peek(1) == 1) { // V0: 1
-          r.pos += 1
-          cur += b1; a0 = b1; color ^= 1
-        } else if (r.peek(3) == 3) { // 011 VR1
-          r.pos += 3
-          cur += b1 + 1; a0 = b1 + 1; color ^= 1
-        } else if (r.peek(3) == 2) { // 010 VL1
-          r.pos += 3
-          cur += b1 - 1; a0 = b1 - 1; color ^= 1
-        } else if (r.peek(3) == 1) { // 001 Horizontal
-          r.pos += 3
-          val a0p = math.max(a0, 0)
-          val r1 = readRun(r, color == 1)
-          val r2 = readRun(r, color == 0)
-          val a1 = a0p + r1
-          val a2 = a1 + r2
-          cur += a1; cur += a2
-          a0 = a2 // color unchanged (two runs)
-        } else if (r.peek(4) == 1) { // 0001 Pass
-          r.pos += 4
-          a0 = b2 // color unchanged, no transition recorded
-        } else if (r.peek(6) == 3) { // 000011 VR2
-          r.pos += 6
-          cur += b1 + 2; a0 = b1 + 2; color ^= 1
-        } else if (r.peek(6) == 2) { // 000010 VL2
-          r.pos += 6
-          cur += b1 - 2; a0 = b1 - 2; color ^= 1
-        } else if (r.peek(7) == 3) { // 0000011 VR3
-          r.pos += 7
-          cur += b1 + 3; a0 = b1 + 3; color ^= 1
-        } else if (r.peek(7) == 2) { // 0000010 VL3
-          r.pos += 7
-          cur += b1 - 3; a0 = b1 - 3; color ^= 1
-        } else if (r.peek(12) == 1) { // EOL/EOFB prefix 000000000001
-          done = true
-          row = rows // stop everything (EOFB)
-        } else throw new IllegalStateException(s"bad G4 mode code at bit ${r.pos}")
-        // crafted streams can loop without advancing (e.g. VL on b1=a0+1)
-        if (!done && a0 <= before && a0 >= 0)
-          throw new IllegalStateException("G4 decoder made no progress")
-      }
-      if (row < rows) {
-        // paint the row from its transition list
-        var x = 0
-        var c = 0
-        var t = 0
-        val base = row * columns
-        val curArr = cur.toArray
-        while (x < columns) {
-          val nextT = if (t < curArr.length) math.min(curArr(t), columns) else columns
-          if (c == 1) java.util.Arrays.fill(out, base + x, base + math.max(x, nextT), 1.toByte)
-          x = math.max(x, nextT)
-          c ^= 1
-          t += 1
-        }
-        ref = curArr ++ Array(columns, columns)
+      val cur = decode2DRow(r, ref, columns)
+      if (cur == null) row = rows // EOFB: stop everything
+      else {
+        paintRow(out, row, columns, cur)
+        ref = cur ++ Array(columns, columns)
         row += 1
       }
     }
     out
+  }
+
+  /** G3 decode (T.4) → 1 byte/pixel (1 = black): `k` = the PDF /K value.
+    * k = 0: every row is 1D MH; EOLs optional (consumed when present).
+    * k > 0: each row framed by EOL + a tag bit (1 → 1D, 0 → 2D against
+    * the previous row); a missing first EOL is tolerated as 1D. Two
+    * consecutive EOLs (RTC) end the image. Throws on malformed input.
+    */
+  def decodeG3(data: Array[Byte], columns: Int, rows: Int, k: Int = 0,
+      encodedByteAlign: Boolean = false): Array[Byte] = {
+    require(k >= 0, s"K $k is G4 — use decode")
+    require(columns > 0 && columns <= (1 << 16), s"columns $columns")
+    require(rows > 0 && rows <= (1 << 16), s"rows $rows")
+    val out = new Array[Byte](columns * rows)
+    val r = new BitReader(data)
+    var ref = Array(columns, columns)
+    var row = 0
+    var stop = false
+    while (row < rows && !r.eof && !stop) {
+      if (encodedByteAlign) r.align()
+      val hadEol = consumeEol(r)
+      if (r.eof || (hadEol && r.peek(12) == 1)) stop = true // RTC / trailer
+      else {
+        val is1D =
+          if (k == 0) true
+          else if (!hadEol) true // tolerant first row without framing
+          else r.bit() == 1 // tag bit after EOL
+        val cur =
+          if (is1D) decode1DRow(r, columns)
+          else decode2DRow(r, ref, columns)
+        if (cur == null) stop = true // unexpected EOL mid-row: treat as end
+        else {
+          paintRow(out, row, columns, cur)
+          ref = cur ++ Array(columns, columns)
+          row += 1
+        }
+      }
+    }
+    out
+  }
+
+  private def transitionsOf(pixels: Array[Byte], columns: Int, row: Int): Array[Int] = {
+    if (row < 0) return Array(columns, columns)
+    val base = row * columns
+    val t = ArrayBuffer[Int]()
+    var c = 0
+    var x = 0
+    while (x < columns) {
+      if ((pixels(base + x) & 1) != c) { t += x; c ^= 1 }
+      x += 1
+    }
+    t += columns
+    t += columns
+    t.toArray
+  }
+
+  private def runTo(w: BitWriter, run0: Int, black: Boolean): Unit = {
+    var run = run0
+    while (run >= 64) {
+      // largest makeup ≤ run (makeups are multiples of 64 up to 2560)
+      val mk = math.min(run - run % 64, 2560)
+      w.put(codeword(mk, black).get)
+      run -= mk
+    }
+    w.put(codeword(run, black).get)
+  }
+
+  private def encode2DRow(w: BitWriter, ref: Array[Int], cur: Array[Int],
+      columns: Int): Unit = {
+    var a0 = -1
+    var color = 0
+    var ti = 0
+    while (a0 < columns) {
+      val a1 = if (ti < cur.length) cur(ti) else columns
+      var bi = 0
+      while (bi < ref.length && (ref(bi) <= a0 || (bi & 1) != color)) bi += 1
+      val b1 = if (bi < ref.length) ref(bi) else columns
+      val b2 = if (bi + 1 < ref.length) ref(bi + 1) else columns
+      if (b2 < a1) { // pass
+        w.put("0001")
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) { // vertical
+        (a1 - b1) match {
+          case 0 => w.put("1")
+          case 1 => w.put("011")
+          case 2 => w.put("000011")
+          case 3 => w.put("0000011")
+          case -1 => w.put("010")
+          case -2 => w.put("000010")
+          case -3 => w.put("0000010")
+        }
+        a0 = a1; color ^= 1; ti += 1
+      } else { // horizontal: two runs from max(a0,0)
+        val a2 = if (ti + 1 < cur.length) cur(ti + 1) else columns
+        w.put("001")
+        val a0p = math.max(a0, 0)
+        runTo(w, a1 - a0p, color == 1)
+        runTo(w, a2 - a1, color == 0)
+        a0 = a2; ti += 2
+      }
+    }
+  }
+
+  private def encode1DRow(w: BitWriter, cur: Array[Int], columns: Int): Unit = {
+    var prev = 0
+    var color = 0
+    var i = 0
+    while (prev < columns) {
+      val next = math.min(if (i < cur.length) cur(i) else columns, columns)
+      runTo(w, next - prev, color == 1)
+      prev = next
+      color ^= 1
+      i += 1
+    }
   }
 
   /** G4 encode of a 1-byte/pixel (1 = black) raster — the fixture writer
@@ -263,70 +423,36 @@ object CcittG4 {
   def encode(pixels: Array[Byte], columns: Int, rows: Int): Array[Byte] = {
     require(pixels.length == columns * rows, "pixel buffer size")
     val w = new BitWriter
-    def transitionsOf(row: Int): Array[Int] = {
-      if (row < 0) return Array(columns, columns)
-      val base = row * columns
-      val t = ArrayBuffer[Int]()
-      var c = 0
-      var x = 0
-      while (x < columns) {
-        if ((pixels(base + x) & 1) != c) { t += x; c ^= 1 }
-        x += 1
-      }
-      t += columns
-      t += columns
-      t.toArray
-    }
-    def runTo(run0: Int, black: Boolean): Unit = {
-      var run = run0
-      while (run >= 64) {
-        // largest makeup ≤ run (makeups are multiples of 64 up to 2560)
-        val mk = math.min(run - run % 64, 2560)
-        w.put(codeword(mk, black).get)
-        run -= mk
-      }
-      w.put(codeword(run, black).get)
-    }
     var row = 0
     while (row < rows) {
-      val ref = transitionsOf(row - 1)
-      val cur = transitionsOf(row)
-      var a0 = -1
-      var color = 0
-      var ti = 0
-      while (a0 < columns) {
-        val a1 = if (ti < cur.length) cur(ti) else columns
-        var bi = 0
-        while (bi < ref.length && (ref(bi) <= a0 || (bi & 1) != color)) bi += 1
-        val b1 = if (bi < ref.length) ref(bi) else columns
-        val b2 = if (bi + 1 < ref.length) ref(bi + 1) else columns
-        if (b2 < a1) { // pass
-          w.put("0001")
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) { // vertical
-          (a1 - b1) match {
-            case 0 => w.put("1")
-            case 1 => w.put("011")
-            case 2 => w.put("000011")
-            case 3 => w.put("0000011")
-            case -1 => w.put("010")
-            case -2 => w.put("000010")
-            case -3 => w.put("0000010")
-          }
-          a0 = a1; color ^= 1; ti += 1
-        } else { // horizontal: two runs from max(a0,0)
-          val a2 = if (ti + 1 < cur.length) cur(ti + 1) else columns
-          w.put("001")
-          val a0p = math.max(a0, 0)
-          runTo(a1 - a0p, color == 1)
-          runTo(a2 - a1, color == 0)
-          a0 = a2; ti += 2
-        }
-        if (a0 >= columns) () // row complete
-      }
+      encode2DRow(w, transitionsOf(pixels, columns, row - 1),
+        transitionsOf(pixels, columns, row), columns)
       row += 1
     }
     w.put("000000000001000000000001") // EOFB
+    w.toByteArray
+  }
+
+  /** G3 encode (T.4): k = 0 emits EOL + a 1D MH row per line; k > 0 emits
+    * EOL + tag bit with a 1D row at least every k lines (2D between) —
+    * the round-trip half of [[decodeG3]]'s correctness evidence.
+    */
+  def encodeG3(pixels: Array[Byte], columns: Int, rows: Int, k: Int = 0): Array[Byte] = {
+    require(k >= 0, s"K $k is G4 — use encode")
+    require(pixels.length == columns * rows, "pixel buffer size")
+    val w = new BitWriter
+    var row = 0
+    while (row < rows) {
+      w.put("000000000001") // EOL
+      val oneD = k == 0 || row % math.max(k, 1) == 0
+      if (k > 0) w.put(if (oneD) "1" else "0")
+      val cur = transitionsOf(pixels, columns, row)
+      if (oneD) encode1DRow(w, cur, columns)
+      else encode2DRow(w, transitionsOf(pixels, columns, row - 1), cur, columns)
+      row += 1
+    }
+    // RTC: the trailing EOL pair ends the image for tolerant readers
+    w.put("000000000001000000000001")
     w.toByteArray
   }
 }

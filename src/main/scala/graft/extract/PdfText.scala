@@ -593,10 +593,10 @@ object PdfText {
           val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
           ImageRef(0, 0, "", w, h, "image/jpeg", data)
         case Seq("CCITTFaxDecode") | Seq("CCF") if w > 0 && h > 0 =>
-          // scanned-document images: G4 (/K < 0) decodes to a bilevel
-          // raster → PNG; K >= 0 (G3) keeps the placeholder (documented
-          // CcittG4 bound). BlackIs1 only affects bit-PACKED output, which
-          // is skipped — the decoder yields semantic black/white directly.
+          // scanned-document images: G4 (/K < 0), pure-1D G3 (/K = 0), and
+          // mixed G3 (/K > 0) all decode to a bilevel raster → PNG.
+          // BlackIs1 only affects bit-PACKED output, which is skipped —
+          // the decoders yield semantic black/white directly.
           val parms: Map[String, PObj] =
             doc.resolve(xm.getOrElse("DecodeParms", xm.getOrElse("DP", PNull))) match {
               case PDict(mm) => mm
@@ -615,23 +615,22 @@ object PdfText {
           val cols = math.max(1, pnum("Columns", 1728).toInt)
           val rws = math.max(1, pnum("Rows", h.toDouble).toInt)
           val align = parms.get("EncodedByteAlign").map(doc.resolve(_)).contains(PBool(true))
-          if (k >= 0) ImageRef(0, 0, "", w, h, "", Array.emptyByteArray)
-          else {
-            val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
-            val px = CcittG4.decode(data, cols, rws, align)
-            val img = new java.awt.image.BufferedImage(
-              cols, rws, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val packed = new Array[Int](cols * rws)
-            var i = 0
-            while (i < packed.length) {
-              packed(i) = if (px(i) == 1) 0x000000 else 0xFFFFFF
-              i += 1
-            }
-            img.setRGB(0, 0, cols, rws, packed, 0, cols)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            ImageRef(0, 0, "", cols, rws, "image/png", bos.toByteArray)
+          val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
+          val px =
+            if (k < 0) CcittG4.decode(data, cols, rws, align)
+            else CcittG4.decodeG3(data, cols, rws, k.toInt, align)
+          val img = new java.awt.image.BufferedImage(
+            cols, rws, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val packed = new Array[Int](cols * rws)
+          var i = 0
+          while (i < packed.length) {
+            packed(i) = if (px(i) == 1) 0x000000 else 0xFFFFFF
+            i += 1
           }
+          img.setRGB(0, 0, cols, rws, packed, 0, cols)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageRef(0, 0, "", cols, rws, "image/png", bos.toByteArray)
         case Seq("JPXDecode") =>
           val data = doc.decryptedPayload(ref).map(_._2).getOrElse(Array.emptyByteArray)
           ImageRef(0, 0, "", w, h, "image/jp2", data)
