@@ -270,20 +270,35 @@ object CcittG4 {
     * cursor and returns false when the bits there are not an EOL.
     */
   private def consumeEol(r: BitReader): Boolean = {
+    // T.4 allows arbitrary zero FILL before the EOL's 000000000001 (fax
+    // minimum-scan-line padding); the scan is bounded by the input length.
+    // No MH/2D codeword has >= 11 leading zeros, so the threshold cannot
+    // swallow a data code.
     val start = r.pos
     var zeros = 0
-    while (!r.eof && r.peek(1) == 0 && zeros <= 64) { r.pos += 1; zeros += 1 }
-    if (!r.eof && zeros >= 11 && zeros <= 64) { r.pos += 1; true }
+    while (!r.eof && r.peek(1) == 0) { r.pos += 1; zeros += 1 }
+    if (!r.eof && zeros >= 11) { r.pos += 1; true }
     else { r.pos = start; false }
   }
 
   /** G4 decode → 1 byte/pixel (1 = black). Throws on malformed input —
     * callers convert to the placeholder/failure channel.
     */
-  def decode(data: Array[Byte], columns: Int, rows: Int,
-      encodedByteAlign: Boolean = false): Array[Byte] = {
+  /** Dimension guard shared by the decoders: per-axis bound plus a total
+    * pixel cap (1<<26 ≈ 67M px covers a 600 dpi A4 scan) so a crafted
+    * /Columns x /Rows cannot force a multi-GB allocation whose
+    * OutOfMemoryError would escape callers' Exception handlers.
+    */
+  private def requireDims(columns: Int, rows: Int): Unit = {
     require(columns > 0 && columns <= (1 << 16), s"columns $columns")
     require(rows > 0 && rows <= (1 << 16), s"rows $rows")
+    require(columns.toLong * rows <= (1L << 26),
+      s"raster ${columns}x$rows exceeds the pixel cap")
+  }
+
+  def decode(data: Array[Byte], columns: Int, rows: Int,
+      encodedByteAlign: Boolean = false): Array[Byte] = {
+    requireDims(columns, rows)
     val out = new Array[Byte](columns * rows)
     val r = new BitReader(data)
     // reference transitions: positions where color changes, terminated
@@ -312,8 +327,7 @@ object CcittG4 {
   def decodeG3(data: Array[Byte], columns: Int, rows: Int, k: Int = 0,
       encodedByteAlign: Boolean = false): Array[Byte] = {
     require(k >= 0, s"K $k is G4 — use decode")
-    require(columns > 0 && columns <= (1 << 16), s"columns $columns")
-    require(rows > 0 && rows <= (1 << 16), s"rows $rows")
+    requireDims(columns, rows)
     val out = new Array[Byte](columns * rows)
     val r = new BitReader(data)
     var ref = Array(columns, columns)
@@ -322,7 +336,7 @@ object CcittG4 {
     while (row < rows && !r.eof && !stop) {
       if (encodedByteAlign) r.align()
       val hadEol = consumeEol(r)
-      if (r.eof || (hadEol && r.peek(12) == 1)) stop = true // RTC / trailer
+      if (r.eof || (hadEol && consumeEol(r))) stop = true // RTC / trailer
       else {
         val is1D =
           if (k == 0) true

@@ -63,12 +63,28 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
-  test("garbage input throws (caller degrades to placeholder), never hangs") {
-    intercept[Exception] {
-      CcittG4.decode(Array.fill[Byte](64)(0x55), 100, 100)
-      // if it decodes by luck, force a failure check on size instead
-      throw new IllegalStateException("decoded garbage")
+  test("garbage input is bounded: throws or full raster, never hangs") {
+    // random bits may form valid codes by luck (especially 1D MH), so the
+    // contract is BOUNDED termination: either IllegalStateException (the
+    // caller's placeholder channel) or a correctly-sized raster
+    def bounded(f: => Array[Byte], n: Int): Unit =
+      try assert(f.length == n)
+      catch { case _: IllegalStateException => () }
+    bounded(CcittG4.decode(Array.fill[Byte](64)(0x55), 100, 100), 10000)
+    bounded(CcittG4.decodeG3(Array.fill[Byte](64)(0x55), 100, 100, 0), 10000)
+    bounded(CcittG4.decodeG3(Array.fill[Byte](64)(0xAA.toByte), 100, 100, 2), 10000)
+    val r = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val blob = Array.fill(1 + r.nextInt(512))(r.nextInt(256).toByte)
+      bounded(CcittG4.decode(blob, 64, 64), 4096)
+      bounded(CcittG4.decodeG3(blob, 64, 64, 0), 4096)
+      bounded(CcittG4.decodeG3(blob, 64, 64, 4), 4096)
     }
+    // oversized dimension requests are rejected up front (OOM guard)
+    intercept[IllegalArgumentException](
+      CcittG4.decodeG3(Array[Byte](0), 65535, 65535, 0))
+    intercept[IllegalArgumentException](
+      CcittG4.decode(Array[Byte](0), 65535, 65535))
   }
 
   test("G3 hand-computed stream: 1D row '0000 11 00' at K=0") {
@@ -104,11 +120,12 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
-  test("G3 garbage never hangs; truncation degrades to white tail rows") {
-    intercept[Exception] {
-      CcittG4.decodeG3(Array.fill[Byte](64)(0x55), 100, 100, 0)
-      throw new IllegalStateException("decoded garbage")
-    }
+  test("G3 truncation is bounded; long T.4 fill before EOL is accepted") {
+    // 72 fill bits (9 zero bytes) before the first EOL — legal T.4
+    // minimum-scan-line padding — must still decode
+    val fpx = Array[Byte](0, 0, 1, 1, 0, 0, 0, 0)
+    val filled = Array.fill[Byte](9)(0) ++ CcittG4.encodeG3(fpx, 8, 1, 0)
+    assert(CcittG4.decodeG3(filled, 8, 1, 0).toSeq == fpx.toSeq)
     val px = Array.tabulate(8 * 4)(i => if (i % 3 == 0) 1.toByte else 0.toByte)
     val enc = CcittG4.encodeG3(px, 8, 4, 0)
     // truncations either finish early (missing rows stay white) or land
@@ -141,29 +158,8 @@ class CcittSpec extends AnyFunSuite {
     val w0 = 40; val h0 = 12
     val px = Array.tabulate(w0 * h0)(i => if ((i % w0) / 4 % 2 == 0) 1.toByte else 0.toByte)
     val payload = CcittG4.encode(px, w0, h0)
-    val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
-    def obj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
-    val content = s"q $w0 0 0 $h0 10 20 cm /Im0 Do Q\n"
-    w("%PDF-1.4\n")
-    obj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    obj(2); w("<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>\nendobj\n")
-    obj(3)
-    w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
-      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
-    obj(4); w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
-    obj(5)
-    w(s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
-      s"/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /CCITTFaxDecode " +
-      s"/DecodeParms << /K -1 /Columns $w0 /Rows $h0 >> /Length ${payload.length} >>\nstream\n")
-    out.write(payload)
-    w("\nendstream\nendobj\n")
-    val xrefAt = out.size()
-    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-    val pages = graft.extract.PdfText.extract(out.toByteArray).fold(e => fail(e), identity)
+    val bytes = CcittSpec.buildCcittPdf(w0, h0, -1, payload)
+    val pages = graft.extract.PdfText.extract(bytes).fold(e => fail(e), identity)
     val img = pages.head.images.head
     assert(img.mime == "image/png" && img.width == w0 && img.height == h0)
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
