@@ -555,9 +555,11 @@ object SparkEntry {
         Multimodal.docDerivedMediaTable(tbl(s, dir, "documents")))
         .withColumn("doc_id", col("doc_id").cast("long"))),
     "q_media_resize" -> ((s, dir) => {
-      // REAL javax.imageio decode → area-average downscale → PNG re-encode
-      // over per-doc synthesized PNGs (solid color, deterministic dims);
-      // output dims are pure arithmetic, so the oracle checks them exactly
+      // REAL javax.imageio decode → area-average downscale → REAL WebP
+      // (VP8L) re-encode over per-doc synthesized PNGs (solid color,
+      // deterministic dims); output dims are pure arithmetic, so the
+      // oracle checks them exactly (payload exactness is pinned in
+      // MultimodalSpec/WebpSpec via the lossless decoder)
       Multimodal.resizeImages(synthPngMedia(s, dir), maxDim = 64)
         .select(col("doc_id").cast("long").as("doc_id"), col("width"),
           col("height"), col("resized"))

@@ -344,10 +344,12 @@ object Multimodal {
       error: String)
 
   /** Real image downscale — the reference's PNG→WebP downscale rewrite
-    * analog (utils.py:101-128; the JDK ships no WebP encoder, so output
-    * stays PNG — documented): images whose longest side exceeds `maxDim`
-    * are scaled down (area-averaging) and PNG re-encoded; smaller images and
-    * undecodable payloads pass through unchanged with an error note.
+    * (utils.py:101-128): images whose longest side exceeds `maxDim` are
+    * scaled down (area-averaging) and re-encoded as REAL WebP via the
+    * from-scratch VP8L codec ([[graft.extract.WebpL]] — lossless, where
+    * the reference's PIL path is lossy quality=20, a documented fidelity
+    * UPGRADE rather than a byte match); smaller images and undecodable
+    * payloads pass through unchanged with an error note.
     */
   def resizeImages(media: Dataset[MediaRow], maxDim: Int = 256): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
@@ -366,9 +368,10 @@ object Multimodal {
             val nw = math.max(1, math.round(w * scale).toInt)
             val nh = math.max(1, math.round(h * scale).toInt)
             val scaled = boxAverageScale(img, nw, nh)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(scaled, "png", bos)
-            ResizedMedia(r.doc_id, r.media_ref, "image/png", bos.toByteArray, nw, nh,
+            val argb = new Array[Int](nw * nh)
+            scaled.getRGB(0, 0, nw, nh, argb, 0, nw)
+            val webp = graft.extract.WebpL.encode(argb, nw, nh)
+            ResizedMedia(r.doc_id, r.media_ref, "image/webp", webp, nw, nh,
               resized = true, "")
           }
         } catch {

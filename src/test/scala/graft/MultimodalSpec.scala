@@ -83,7 +83,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("d3").decode_error.contains("empty payload"))
   }
 
-  test("resizeImages caps the longest side, re-encodes PNG, passes small/undecodable through") {
+  test("resizeImages caps the longest side, re-encodes REAL WebP, passes small through") {
     import spark.implicits._
     val rows = Seq(
       Multimodal.MediaRow("big", "img-0.png", "image/png", png(200, 100, (x, y) => (x << 16) | y)),
@@ -92,20 +92,21 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.resizeImages(spark.createDataset(rows), maxDim = 64)
       .collect().map(r => r.doc_id -> r).toMap
     assert(out("big").resized && out("big").width == 64 && out("big").height == 32)
-    // the resized payload is itself a decodable PNG with the new dims
-    val back = Multimodal.ImageIoCodec.decode("image/png", out("big").content)
-    assert((back._1, back._2) == (64, 32))
+    // the resized payload is a genuine VP8L WebP file with the new dims
+    assert(out("big").mime_type == "image/webp")
+    val (_, bw, bh) = graft.extract.WebpL.decode(out("big").content)
+    assert((bw, bh) == (64, 32))
     assert(!out("small").resized && out("small").width == 30 && out("small").error == "")
+    assert(out("small").mime_type == "image/png") // pass-through keeps bytes
     assert(!out("bad").resized && out("bad").error.contains("undecodable"))
-    // CONTENT preservation, not just dims: a solid color must survive the
-    // downscale exactly (the async getScaledInstance path this replaced
-    // could emit silently blank pixels under concurrency)
+    // CONTENT preservation, now EXACT: VP8L is lossless, so a solid color
+    // survives the downscale + re-encode pixel-for-pixel
     val solid = Multimodal.resizeImages(spark.createDataset(Seq(
       Multimodal.MediaRow("solid", "img-0.png", "image/png", png(200, 100, (_, _) => 0x406080)))),
       maxDim = 64).collect().head
-    val (_, _, _, luma, _) = Multimodal.ImageIoCodec.decode("image/png", solid.content)
-    val expected = math.rint((0.299 * 0x40 + 0.587 * 0x60 + 0.114 * 0x80) / 255.0 * 10000) / 10000
-    assert(luma == expected, s"resized solid-color luma drifted: $luma vs $expected")
+    val (spx, sw, sh) = graft.extract.WebpL.decode(solid.content)
+    assert((sw, sh) == (64, 32))
+    assert(spx.forall(_ == 0xFF406080), "resized solid-color pixels drifted")
   }
 
   test("filterMinSize keeps images >= the min dimension, drops small and undecodable") {
