@@ -76,7 +76,17 @@ object Multimodal {
 
     def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int, Double, Long) = {
       if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
+        case null if bytes.length > 20 && bytes(0) == 'R' && bytes(12) == 'V' =>
+          // lossless WebP via the from-scratch VP8L decoder (the JDK's
+          // ImageIO has no WebP reader; lossy VP8 stays documented-out)
+          val (argb, w, h) = graft.extract.WebpL.decode(bytes)
+          val bi = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          bi.setRGB(0, 0, w, h, argb, 0, w)
+          bi
+        case other => other
+      }
       if (img == null) throw new IllegalArgumentException(s"undecodable payload ($mime)")
       val w = img.getWidth
       val h = img.getHeight

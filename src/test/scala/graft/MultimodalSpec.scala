@@ -107,6 +107,13 @@ class MultimodalSpec extends AnyFunSuite {
     val (spx, sw, sh) = graft.extract.WebpL.decode(solid.content)
     assert((sw, sh) == (64, 32))
     assert(spx.forall(_ == 0xFF406080), "resized solid-color pixels drifted")
+    // the feature codec reads the WebP output back (ImageIO has no WebP
+    // reader — the VP8L fallback path handles it)
+    val (fw, fh, fc, fl, fhash) =
+      Multimodal.ImageIoCodec.decode("image/webp", solid.content)
+    assert((fw, fh, fc) == (64, 32, 4))
+    val expected = math.rint((0.299 * 0x40 + 0.587 * 0x60 + 0.114 * 0x80) / 255.0 * 10000) / 10000
+    assert(fl == expected && fhash == 0L)
   }
 
   test("filterMinSize keeps images >= the min dimension, drops small and undecodable") {
