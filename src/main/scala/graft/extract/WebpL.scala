@@ -64,15 +64,22 @@ object WebpL {
     }
   }
 
-  private final class BitReaderLsb(d: Array[Byte], var pos: Int = 0) {
-    def eof: Boolean = pos >= d.length * 8
+  private final class BitReaderLsb(d: Array[Byte]) {
+    private val limit = d.length * 8
+    var pos = 0
+    def eof: Boolean = pos >= limit
+    /** Reads past the final byte throw: a conforming stream never needs
+      * bits beyond its own bytes, so running off the end is truncation or
+      * corruption — never silently-zero pixels.
+      */
     def readBits(n: Int): Int = {
+      if (pos + n > limit)
+        throw new IllegalStateException("truncated VP8L stream")
       var v = 0
       var i = 0
       while (i < n) {
         val p = pos + i
-        val bit = if (p < d.length * 8) (d(p >> 3) >>> (p & 7)) & 1 else 0
-        v |= bit << i
+        v |= ((d(p >> 3) >>> (p & 7)) & 1) << i
         i += 1
       }
       pos += n
@@ -101,72 +108,82 @@ object WebpL {
     codes
   }
 
-  /** Length-limited prefix lengths from frequencies (simple Huffman with
-    * a clamp-and-repair pass for the 15-bit limit; alphabets here are
-    * ≤ 280 symbols so the repair rarely engages).
+  /** Length-limited prefix lengths from frequencies via package-merge
+    * (Larmore-Hirschberg): optimal under the limit and always COMPLETE
+    * (Kraft sum exactly 1 for ≥ 2 symbols) — strict decoders like libwebp
+    * reject incomplete codes, so a clamp-and-repair heuristic that can
+    * land at Kraft < 1 would emit spec-invalid files. Requires
+    * 2^maxLen ≥ used-symbol count (holds: 2^15 ≥ 280, 2^7 ≥ 19).
     */
-  private def huffmanLengths(freq: Array[Int], maxLen: Int): Array[Int] = {
+  private[graft] def huffmanLengths(freq: Array[Int], maxLen: Int): Array[Int] = {
     val n = freq.length
     val used = (0 until n).filter(freq(_) > 0)
     val lengths = new Array[Int](n)
     if (used.isEmpty) return lengths
     if (used.size == 1) { lengths(used.head) = 1; return lengths }
-    // (weight, node): leaves are symbol ids, internal nodes ≥ n
-    case class Node(w: Long, id: Int, left: Int = -1, right: Int = -1)
-    val nodes = ArrayBuffer.empty[Node]
-    val heap = mutable.PriorityQueue.empty[(Long, Int)](Ordering.by(t => -t._1))
-    used.foreach { s => nodes += Node(freq(s), s); heap += ((freq(s).toLong, nodes.length - 1)) }
-    while (heap.size > 1) {
-      val (w1, i1) = heap.dequeue()
-      val (w2, i2) = heap.dequeue()
-      nodes += Node(w1 + w2, -1, i1, i2)
-      heap += ((w1 + w2, nodes.length - 1))
+    require((1L << maxLen) >= used.size, s"limit $maxLen too tight for ${used.size}")
+    // items carry (weight, the leaves they contain)
+    final case class Item(w: Long, syms: List[Int])
+    val leaves = used.map(s => Item(freq(s).toLong, List(s))).sortBy(_.w).toList
+    var prev = List.empty[Item]
+    var level = 0
+    while (level < maxLen) {
+      val packages = prev.grouped(2).collect {
+        case List(a, b) => Item(a.w + b.w, a.syms ++ b.syms)
+      }.toList
+      prev = (leaves ++ packages).sortBy(_.w)
+      level += 1
     }
-    def depth(i: Int, d: Int): Unit = {
-      val nd = nodes(i)
-      if (nd.left < 0) lengths(nd.id) = math.max(d, 1)
-      else { depth(nd.left, d + 1); depth(nd.right, d + 1) }
-    }
-    depth(heap.dequeue()._2, 0)
-    // repair: clamp to maxLen and restore Kraft ≤ 1 by deepening the
-    // shallowest repairable leaves
-    if (lengths.exists(_ > maxLen)) {
-      for (s <- used) if (lengths(s) > maxLen) lengths(s) = maxLen
-      def kraft: Double = used.map(s => math.pow(2, -lengths(s))).sum
-      var it = 0
-      while (kraft > 1.0 && it < 10000) {
-        val s = used.filter(lengths(_) < maxLen).minBy(lengths(_))
-        lengths(s) += 1
-        it += 1
-      }
-      require(kraft <= 1.0, "length-limit repair failed")
-    }
+    prev.take(2 * used.size - 2).foreach(_.syms.foreach(s => lengths(s) += 1))
+    // completeness invariant (integer Kraft in units of 2^-maxLen)
+    val kraftUnits = used.map(s => 1L << (maxLen - lengths(s))).sum
+    require(kraftUnits == (1L << maxLen), s"incomplete code: $kraftUnits")
     lengths
   }
 
-  /** Bit-serial prefix decoder over (length, canonical code). */
+  /** Bit-serial prefix decoder: canonical first-code/offset tables per
+    * length (allocation-free per symbol — this sits in the per-pixel
+    * decode hot path).
+    */
   private final class PrefixCode(val lengths: Array[Int]) {
     private val codes = canonicalCodes(lengths)
     val singleSymbol: Int = {
       val used = lengths.indices.filter(lengths(_) > 0)
       if (used.size == 1) used.head else -1
     }
-    // (len, code) → symbol
-    private val table: Map[(Int, Int), Int] =
-      lengths.indices.filter(lengths(_) > 0)
-        .map(s => (lengths(s), codes(s)) -> s).toMap
+    private val maxLen = if (lengths.isEmpty) 0 else lengths.max
+    // canonical decode tables: symbols sorted by (length, symbol);
+    // firstCode(len) = smallest code of that length, offset(len) = its
+    // index in the sorted array, count(len) = how many
+    private val sortedSyms =
+      lengths.indices.filter(lengths(_) > 0).sortBy(s => (lengths(s), s)).toArray
+    private val countByLen = new Array[Int](maxLen + 1)
+    sortedSyms.foreach(s => countByLen(lengths(s)) += 1)
+    private val offsetByLen = new Array[Int](maxLen + 1)
+    private val firstCodeByLen = new Array[Int](maxLen + 1)
+    locally {
+      var off = 0
+      var code = 0
+      var len = 1
+      while (len <= maxLen) {
+        offsetByLen(len) = off
+        firstCodeByLen(len) = code
+        off += countByLen(len)
+        code = (code + countByLen(len)) << 1
+        len += 1
+      }
+    }
     def code(sym: Int): (Int, Int) = (codes(sym), lengths(sym))
     def read(r: BitReaderLsb): Int = {
       if (singleSymbol >= 0) return singleSymbol
       var len = 0
       var code = 0
-      while (len <= 15) {
+      while (len < maxLen) {
         code = (code << 1) | r.readBits(1)
         len += 1
-        table.get((len, code)) match {
-          case Some(s) => return s
-          case None => ()
-        }
+        val rel = code - firstCodeByLen(len)
+        if (rel >= 0 && rel < countByLen(len))
+          return sortedSyms(offsetByLen(len) + rel)
       }
       throw new IllegalStateException("bad prefix code")
     }
@@ -183,14 +200,12 @@ object WebpL {
       if (syms.head <= 1) { w.writeBits(0, 1); w.writeBits(syms.head, 1) }
       else { w.writeBits(1, 1); w.writeBits(syms.head, 8) }
       if (syms.length == 2) w.writeBits(syms(1), 8)
+      // one length array serves both cases: a single used symbol routes
+      // through PrefixCode.singleSymbol (zero bits read/written — emit
+      // skips single-symbol codes), two symbols get 1-bit codes
       val lengths = new Array[Int](freq.length)
-      if (syms.length == 1) lengths(syms.head) = 0 // zero-bit code
-      else syms.foreach(s => lengths(s) = 1)
-      // represent the 1-symbol case with the decoder's singleSymbol path
-      val pc = new PrefixCode(
-        if (syms.length == 1) { val l = new Array[Int](freq.length); l(syms.head) = 1; l }
-        else lengths)
-      pc
+      syms.foreach(s => lengths(s) = 1)
+      new PrefixCode(lengths)
     } else {
       w.writeBits(0, 1) // normal code
       val symLengths = huffmanLengths(freq, maxLen = 15)
@@ -318,6 +333,24 @@ object WebpL {
     riff.toByteArray
   }
 
+  /** True when the bytes carry the RIFF/WEBP/VP8L container signature. */
+  def isVp8l(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 21 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P' &&
+      bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'L' &&
+      bytes(20) == 0x2F
+
+  /** Header-only dimensions (28 bits past the signature — no raster
+    * decode), None when the signature does not match.
+    */
+  def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (!isVp8l(bytes)) None
+    else {
+      val r = new BitReaderLsb(bytes.slice(21, 25))
+      Some((r.readBits(14) + 1, r.readBits(14) + 1))
+    }
+
   /** Decode a WebP-lossless file produced by a conforming encoder using
     * this codec's subset (no transforms, no color cache, no LZ77 refs —
     * anything else throws). Returns (argb row-major, width, height).
@@ -331,6 +364,11 @@ object WebpL {
     val r = new BitReaderLsb(bytes.drop(21))
     val width = r.readBits(14) + 1
     val height = r.readBits(14) + 1
+    // allocation guard: untrusted 14-bit dims could request a 2^28-pixel
+    // buffer (1 GiB as ints) from a 30-byte file; OutOfMemoryError is an
+    // Error and would escape callers' Exception handlers
+    require(width.toLong * height <= (1L << 24),
+      s"raster ${width}x$height exceeds the pixel cap")
     r.readBits(1) // alpha hint
     require(r.readBits(3) == 0, "unsupported VP8L version")
     require(r.readBits(1) == 0, "transforms unsupported in this subset")

@@ -61,8 +61,25 @@ object Multimodal {
     def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int, Double, Long)
   }
 
+  /** Decode any supported raster: ImageIO formats plus lossless WebP via
+    * the from-scratch VP8L decoder (the JDK ships no WebP reader; lossy
+    * VP8 stays a documented non-goal). Null when unreadable — ALL image
+    * read paths (features, resize, min-size) must go through here so
+    * image/webp payloads compose like any other format.
+    */
+  def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null || bytes.isEmpty) return null
+    if (graft.extract.WebpL.isVp8l(bytes)) {
+      val (argb, w, h) = graft.extract.WebpL.decode(bytes)
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      bi.setRGB(0, 0, w, h, argb, 0, w)
+      bi
+    } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** REAL image decode via the JDK's javax.imageio (headless): PNG, JPEG,
-    * BMP, GIF, WBMP. Features:
+    * BMP, GIF, WBMP — plus lossless WebP through [[readImage]]. Features:
     *   - width/height/channels from the decoded raster,
     *   - mean_luma = mean Rec.601 luma over a ≤64×64 sample grid in [0,1]
     *     (rounded to 4 decimals, like the stub),
@@ -76,17 +93,7 @@ object Multimodal {
 
     def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int, Double, Long) = {
       if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
-        case null if bytes.length > 20 && bytes(0) == 'R' && bytes(12) == 'V' =>
-          // lossless WebP via the from-scratch VP8L decoder (the JDK's
-          // ImageIO has no WebP reader; lossy VP8 stays documented-out)
-          val (argb, w, h) = graft.extract.WebpL.decode(bytes)
-          val bi = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-          bi.setRGB(0, 0, w, h, argb, 0, w)
-          bi
-        case other => other
-      }
+      val img = readImage(bytes)
       if (img == null) throw new IllegalArgumentException(s"undecodable payload ($mime)")
       val w = img.getWidth
       val h = img.getHeight
@@ -253,6 +260,11 @@ object Multimodal {
     */
   def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None
+    // lossless WebP: dims live 28 bits past the VP8L signature
+    graft.extract.WebpL.dims(bytes) match {
+      case some @ Some(_) => return some
+      case None => ()
+    }
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -367,8 +379,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-            if (r.content == null) Array.emptyByteArray else r.content))
+          val img = readImage(r.content)
           if (img == null) throw new IllegalArgumentException(s"undecodable payload (${r.mime_type})")
           val (w, h) = (img.getWidth, img.getHeight)
           if (math.max(w, h) <= maxDim) {

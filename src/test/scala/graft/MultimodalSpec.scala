@@ -114,6 +114,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert((fw, fh, fc) == (64, 32, 4))
     val expected = math.rint((0.299 * 0x40 + 0.587 * 0x60 + 0.114 * 0x80) / 255.0 * 10000) / 10000
     assert(fl == expected && fhash == 0L)
+    // COMPOSITION: the webp output flows back through every image path —
+    // a second resize pass is a clean pass-through (not an error row),
+    // and header-dims/min-size filters read it like any other format
+    import spark.implicits._
+    val again = Multimodal.resizeImages(spark.createDataset(Seq(
+      Multimodal.MediaRow("webp", "img-0.webp", "image/webp", solid.content))),
+      maxDim = 64).collect().head
+    assert(again.error == "" && !again.resized && again.width == 64)
+    assert(Multimodal.imageDims(solid.content).contains((64, 32)))
+    val kept = Multimodal.filterMinSize(spark.createDataset(Seq(
+      Multimodal.MediaRow("webp", "img-0.webp", "image/webp", solid.content))),
+      minSize = 32).count()
+    assert(kept == 1)
   }
 
   test("filterMinSize keeps images >= the min dimension, drops small and undecodable") {

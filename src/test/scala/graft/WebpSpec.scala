@@ -81,10 +81,47 @@ class WebpSpec extends AnyFunSuite {
     // width-1/height-1 in the first 28 payload bits, LSB-first
     val b21 = bytes(21) & 0xFF; val b22 = bytes(22) & 0xFF
     val b23 = bytes(23) & 0xFF
+    val b24 = bytes(24) & 0xFF
     val wm1 = b21 | ((b22 & 0x3F) << 8)
-    val hm1 = (b22 >>> 6) | (b23 << 2) & 0x3FFF
+    val hm1 = (b22 >>> 6) | (b23 << 2) | ((b24 & 0xF) << 10)
     assert(wm1 == w - 1)
     assert(hm1 == h - 1)
+    // a tall image exercises the high height bits the b24 term carries
+    val tall = WebpL.encode(Array.fill(2 * 3000)(0xFF010203), 2, 3000)
+    val (_, tw, th) = WebpL.decode(tall)
+    assert((tw, th) == (2, 3000))
+  }
+
+  test("package-merge emits COMPLETE length-limited codes on skewed input") {
+    // Fibonacci frequencies push unlimited Huffman past depth 15; the
+    // limited code must still have Kraft sum exactly 1 (libwebp rejects
+    // incomplete codes) — huffmanLengths asserts that invariant itself
+    val freq = new Array[Int](280)
+    var (a, b) = (1L, 1L)
+    for (i <- 0 until 24) { freq(i) = math.min(a, Int.MaxValue).toInt; val c = a + b; a = b; b = c }
+    val lengths = WebpL.huffmanLengths(freq, maxLen = 15)
+    assert(lengths.max <= 15 && lengths.max >= 1)
+    val kraft = lengths.filter(_ > 0).map(l => 1L << (15 - l)).sum
+    assert(kraft == (1L << 15), s"kraft $kraft")
+    // and the image whose histogram is that skew round-trips
+    val px = Array.tabulate(64 * 64) { i =>
+      var v = 0; var acc = i % 4096
+      var s = 0
+      while (s < 24 && acc >= freq(s)) { acc -= freq(s); s += 1 }
+      v = math.min(s, 23)
+      0xFF000000 | (v << 16) | ((v * 7) % 256 << 8) | ((i * 31) % 256)
+    }
+    val (dec, _, _) = WebpL.decode(WebpL.encode(px, 64, 64))
+    assert(dec.toSeq == px.toSeq)
+  }
+
+  test("decode rejects oversized dims; resized WebP composes back through") {
+    // crafted header declaring 16384x16384 must not allocate gigabytes
+    val tiny = WebpL.encode(Array(0xFF000000), 1, 1).clone()
+    // bytes 21..24 carry w-1/h-1: set both to 16383
+    tiny(21) = 0xFF.toByte; tiny(22) = 0xFF.toByte
+    tiny(23) = 0xFF.toByte; tiny(24) = 0x0F.toByte
+    intercept[IllegalArgumentException](WebpL.decode(tiny))
   }
 
   test("malformed input throws, never hangs") {
