@@ -80,6 +80,20 @@ object Demo {
     val (w, h, ch, luma, phash) = graft.ops.Multimodal.ImageIoCodec.decode("image/png", pngBytes)
     println(f"  decoded ${w}x$h channels=$ch mean_luma=$luma%.4f dhash=$phash%016x")
 
+    println("== from-scratch VP8L (WebP lossless) codec ==")
+    val argb = Array.tabulate(32 * 16)(i => 0xFF000000 | (i % 251) * 65793)
+    val webp = graft.extract.WebpL.encode(argb, 32, 16)
+    val (wpx, ww, wh) = graft.extract.WebpL.decode(webp)
+    println(s"  encoded ${webp.length} bytes, round-trip ${ww}x$wh " +
+      s"exact=${wpx.toSeq == argb.toSeq} container=${new String(webp, 12, 4, "ISO-8859-1")}")
+
+    println("== CCITT fax codecs (G4 /K<0, G3 /K=0 and /K>0) ==")
+    val fax = Array.tabulate(64 * 8)(i => if ((i % 64) / 8 % 2 == 0) 1.toByte else 0.toByte)
+    val g4 = graft.extract.CcittG4.encode(fax, 64, 8)
+    val g3 = graft.extract.CcittG4.encodeG3(fax, 64, 8, 4)
+    println(s"  G4 ${g4.length}B exact=${graft.extract.CcittG4.decode(g4, 64, 8).toSeq == fax.toSeq}  " +
+      s"G3/K=4 ${g3.length}B exact=${graft.extract.CcittG4.decodeG3(g3, 64, 8, 4).toSeq == fax.toSeq}")
+
     // 6. the Graft façade end-to-end on real files (convert_directory shape)
     {
       val b = java.nio.file.Files.createTempDirectory("graft-demo")
