@@ -137,19 +137,27 @@ object Chunkers {
     val media = if (mediaFiles.nonEmpty) mediaFiles
       else doc.spans.filter(_.kind == graft.model.SpanKind.Image).map(_.media_ref)
     val lines = splitLines(content)
+    // round-6: per-line token counts once, accreted incrementally — the
+    // token count of newline-joined lines is exactly the sum of the lines'
+    // counts (every separator is whitespace, so no token can straddle a
+    // join), which turns the greedy loop's O(chunk²) re-count of the
+    // growing chunk into O(chunk); values are unchanged (ChunkerSpec
+    // goldens + the q_chunk_tokens oracle pin this).
+    val lineTokens = lines.map(countTokens)
     val chunks = ArrayBuffer.empty[Chunk]
     var startIdx = 0
     var lastStartLine = -1
     while (startIdx < lines.length) {
       var endIdx = math.min(startIdx + 100, lines.length)
-      var current = lines.slice(startIdx, endIdx).mkString("\n")
-      var tokens = countTokens(current)
+      var tokens = 0
+      var i = startIdx
+      while (i < endIdx) { tokens += lineTokens(i); i += 1 }
       while (endIdx < lines.length &&
-             tokens < maxTokensPerChunk - countTokens(lines(endIdx))) {
+             tokens < maxTokensPerChunk - lineTokens(endIdx)) {
+        tokens += lineTokens(endIdx)
         endIdx += 1
-        current = lines.slice(startIdx, endIdx).mkString("\n")
-        tokens = countTokens(current)
       }
+      val current = lines.slice(startIdx, endIdx).mkString("\n")
       val imgs = media.filter(f => f.nonEmpty && current.contains(f))
       chunks += Chunk(doc.doc_id, chunks.length, current, imgs,
         start_line = startIdx + 1, end_line = endIdx, token_count = tokens)

@@ -441,7 +441,10 @@ object Dedup {
     * component minimum roughly HALVES per round and rounds = O(log
     * diameter), not O(diameter). A 1000-node chain converges in ~10 rounds
     * (ComponentsSpec locks this); near-dup cliques still finish in 2-3.
-    * Per-round cost is two O(|labels|+|edges|) shuffle joins, never O(n²).
+    * The iteration runs over the EDGE-ACTIVE node set only (≤ 2·|pairs|;
+    * singletons can never change label and rejoin via one final left
+    * join), so per-round cost is two O(|active|+|edges|) shuffle joins,
+    * never O(n²) and never O(corpus).
     * The alternating small-star/large-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) achieves the
     * same bound by rewriting the edge set; the pointer-jump variant keeps
@@ -476,7 +479,19 @@ object Dedup {
       .union(pairs.select(col(bCol).as("e_src"), col(aCol).as("e_dst")))
       .persist()
     try {
-      var labels = cp(nodes.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")))
+      // round-6 optimization (guide §2.3 — shuffle fewer bytes): only nodes
+      // INCIDENT TO AN EDGE can ever change label, so the iteration runs
+      // over the active set (bounded by 2·|pairs|), not the full node set —
+      // in the near-dup regime duplicates are a small fraction of the
+      // corpus, so every per-round join/checkpoint shrinks from O(corpus)
+      // to O(pairs). Singletons rejoin at the end with their own id, which
+      // is exactly the label the loop left them with in rounds 2-5. The
+      // semi-join keeps label semantics identical when a pair references an
+      // id absent from `nodes`: such endpoints contributed no label before
+      // and still do not.
+      val active = edges.select(col("e_src").as("doc_id")).distinct()
+        .join(nodes.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      var labels = cp(active.select(col("doc_id"), col("doc_id").as("cluster_id")))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
@@ -499,7 +514,14 @@ object Dedup {
         labels = next.drop("chg")
         iter += 1
       }
-      labels
+      // rejoin the (untouched) singleton majority: absent from the active
+      // labels ⇒ own-id cluster, the loop's fixed point for a node with no
+      // edges
+      nodes.select(col(idCol).as("doc_id"))
+        .join(labels.withColumnRenamed("doc_id", "l_id"),
+          col("doc_id") === col("l_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     } finally edges.unpersist()
   }
 }

@@ -31,24 +31,25 @@ object SpanOps {
         struct(s("kind").as("kind"), s("text").as("text"),
           s("media_ref").as("media_ref"), s("offset").as("offset"))).as("spans"))
 
-  /** Skew-aware two-phase assemble for pathologically long documents: phase 1
-    * pre-sorts per (doc_id, salt) sub-lists in parallel, phase 2 K-WAY MERGES
-    * the pre-sorted sub-lists ([[graft.functions.MergeSorted]], O(spans·salt)
-    * with no re-sort — the round-2 finding that `array_sort(flatten(...))`
-    * discarded phase 1's work is fixed, not re-documented). The per-key
-    * payload of phase 2 is `salt` rows instead of one row per span, so a
-    * 10^7-span document no longer funnels through a single task's
-    * collect_list (SURVEY §7.4 two-phase aggregate).
+  /** Skew-aware assemble for pathologically long documents: ONE aggregation
+    * whose map-side partial buffers sort before they ship and whose final
+    * step linear-merges pre-sorted runs
+    * ([[graft.functions.SortedStructCollect]]).
+    *
+    * Round-6 optimization (guide §2.3/§2.4): rounds 2-5 ran this as TWO
+    * aggregations — `groupBy(doc_id, salt)` pre-sort, then `groupBy(doc_id)`
+    * k-way merge — so every span payload crossed TWO exchanges. The
+    * sort-on-serialize aggregate keeps the same work placement (sorting
+    * parallel on the map side wherever the spans already sit, an O(n)
+    * merge per document on the reduce side) while the payload crosses ONE
+    * exchange: half the shuffle bytes, one less barrier. Plan shape:
+    * 2 Exchanges → 1 (plans/r06/pipeline_assemble_*.txt).
     */
-  def assembleSkewAware(flat: DataFrame, salt: Int = 16): DataFrame =
+  def assembleSkewAware(flat: DataFrame): DataFrame =
     flat
-      .withColumn("salt", pmod(col("offset"), lit(salt)))
-      .groupBy(col("doc_id"), col("salt"))
-      .agg(array_sort(collect_list(struct(
-        col("offset"), col("kind"), col("text"), col("media_ref")))).as("part"))
       .groupBy(col("doc_id"))
-      .agg(graft.functions.MergeSorted.mergeSortedArrays(
-        collect_list(col("part"))).as("sorted"))
+      .agg(graft.functions.SortedStructCollect.sortedCollect(struct(
+        col("offset"), col("kind"), col("text"), col("media_ref"))).as("sorted"))
       .select(col("doc_id"), transform(col("sorted"), s =>
         struct(s("kind").as("kind"), s("text").as("text"),
           s("media_ref").as("media_ref"), s("offset").as("offset"))).as("spans"))
