@@ -65,7 +65,12 @@ object BenchExtra {
           org.apache.spark.sql.execution.FormattedMode))
       case "query" =>
         // isolate one declared query with the noop sink: BenchExtra query <name>
+        // [k=v ...] — optional session-conf overrides for what-if experiments
         val name = args(1)
+        args.drop(2).filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v)
+        }
         val fn = SparkEntry.queries(name)
         spark.sparkContext.setJobDescription(name)
         time(s"$name warmup (count)") { fn(spark, sfDir).count() }

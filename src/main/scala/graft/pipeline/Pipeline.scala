@@ -41,6 +41,13 @@ object Pipeline {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // guide §3.1/§9: let the planner pick a shuffled-hash join when its
+      // size conditions hold (no per-partition sort of payload rows; SMJ
+      // remains the fallback whenever the build side is not provably
+      // small, so the scale story is unchanged), and let AQE rewrite a
+      // planned SMJ to SHJ when every post-shuffle partition is small
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
