@@ -22,12 +22,13 @@ import scala.collection.mutable.ArrayBuffer
   * as positioned placeholders for the layout stage.
   *
   * Embedded-font decode (round 5): simple fonts whose codes miss both
-  * /ToUnicode and /Encoding resolve through the /FontFile2 TrueType
-  * program's own cmap/post tables ([[TrueType]]) before the ASCII
-  * fallback. Out of scope (documented, error-or-skip, never faked):
-  * Type1/CFF glyph-program inspection (/FontFile, /FontFile3), CID
-  * font-program decode for Type0 (their /ToUnicode or Identity ordering
-  * covers practice), JBIG2/DCT content filters, vertical writing mode.
+  * /ToUnicode and /Encoding resolve through the embedded font program —
+  * /FontFile2 TrueType cmap/post ([[TrueType]]), /FontFile3 CFF/Type1C
+  * encoding→charset→SID ([[Cff]]), /FontFile original-Type1 cleartext
+  * encoding ([[Type1]]) — before the ASCII fallback. Out of scope
+  * (documented, error-or-skip, never faked): CID font-program decode for
+  * Type0 (their /ToUnicode or Identity ordering covers practice),
+  * JBIG2/DCT content filters, vertical writing mode.
   *
   * Line assembly contract (mirrored EXACTLY by the independent second
   * implementation `tools/pdf_text_oracle.py`, which establishes the golden
@@ -194,6 +195,9 @@ object PdfText {
       Font(twoByte = true, toUni, Map.empty, widths.toMap, dw)
     } else {
       // simple font: 1-byte codes; /Encoding base + /Differences, /Widths
+      val fontDescEarly = m.get("FontDescriptor").map(doc.dict)
+      val hasFontProgram = fontDescEarly.exists(fd =>
+        fd.contains("FontFile2") || fd.contains("FontFile3") || fd.contains("FontFile"))
       val encoding: Map[Int, String] = doc.resolve(m.getOrElse("Encoding", PNull)) match {
         case PName(n) => Encodings.base(n)
         case PDict(em) =>
@@ -208,11 +212,15 @@ object PdfText {
               items.map(doc.resolve(_)).foreach {
                 case PNum(v) => code = v.toInt
                 case PName(g) =>
-                  // an unresolvable name (subsetter-private g5/gid00007)
-                  // must NOT occupy the slot with U+FFFD — leaving it empty
-                  // lets the embedded-font chain resolve the code
+                  // an unresolvable name (subsetter-private g5/gid00007):
+                  // with an embedded font program, leave the slot EMPTY so
+                  // the program's own tables resolve the code; without one
+                  // there is nothing downstream that can — keep the honest
+                  // U+FFFD instead of letting the raw-byte fallback decode
+                  // a REMAPPED code as its (wrong) Latin value
                   val ch = Encodings.glyphChar(g)
                   if (ch != "�") diffs(code) = ch
+                  else if (!hasFontProgram) diffs(code) = ch
                   code += 1
                 case _ => ()
               }
@@ -232,7 +240,7 @@ object PdfText {
           }.toMap
         case _ => Map.empty[Int, Double]
       }
-      val fontDesc = m.get("FontDescriptor").map(doc.dict)
+      val fontDesc = fontDescEarly
       val missing = fontDesc
         .flatMap(_.get("MissingWidth").map(doc.resolve(_))) match {
         case Some(PNum(v)) => v

@@ -342,10 +342,13 @@ object WebpL {
       bytes(20) == 0x2F
 
   /** Header-only dimensions (28 bits past the signature — no raster
-    * decode), None when the signature does not match.
+    * decode), None when the signature does not match OR the stream is
+    * truncated inside the size field (isVp8l needs only 22 bytes; the
+    * dims bits live in 21..24 — a 22-24-byte file must degrade to None
+    * like every other unreadable payload, not throw out of filterMinSize).
     */
   def dims(bytes: Array[Byte]): Option[(Int, Int)] =
-    if (!isVp8l(bytes)) None
+    if (!isVp8l(bytes) || bytes.length < 25) None
     else {
       val r = new BitReaderLsb(bytes.slice(21, 25))
       Some((r.readBits(14) + 1, r.readBits(14) + 1))

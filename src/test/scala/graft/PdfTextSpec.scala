@@ -14,6 +14,42 @@ class PdfTextSpec extends AnyFunSuite {
 
   private val resources = "/root/reference/tests/resources"
 
+  /** Minimal one-page PDF with a /Differences entry remapping code 65 to
+    * an unresolvable private glyph name, and NO embedded font program.
+    */
+  private def pdfWithPrivateDifferences: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(num: Int, body: String): Unit = {
+      offsets += out.size(); w(s"$num 0 obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    val content = "BT\n/F1 12 Tf\n72 720 Td\n(AB) Tj\nET\n"
+    obj(4, s"<< /Length ${content.length} >>\nstream\n${content}endstream")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ 65 /gPriv7 ] >> >>")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("Differences with a private name and NO font program keeps U+FFFD") {
+    // code 65 is REMAPPED away from 'A' by /Differences; without an
+    // embedded program nothing can resolve /gPriv7, so decoding the raw
+    // byte as 'A' would be silently wrong text — it must surface as the
+    // honest replacement char, while the untouched 'B' still decodes
+    val texts = PdfText.pageTexts(pdfWithPrivateDifferences)
+      .fold(e => fail(e), identity)
+    assert(texts == Seq("�B"), texts)
+  }
+
   private def read(p: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
 

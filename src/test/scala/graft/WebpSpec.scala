@@ -138,4 +138,16 @@ class WebpSpec extends AnyFunSuite {
       catch { case _: Exception => () }
     }
   }
+
+  test("dims returns None (never throws) on signature-only truncations") {
+    val good = WebpL.encode(Array(0xFF123456, 0xFF654321), 2, 1)
+    // 22-24 bytes: isVp8l's signature window is satisfied but the 28-bit
+    // size field is cut — the filterMinSize path needs None, not a throw
+    for (cut <- 22 to 24) {
+      val t = good.take(cut)
+      assert(WebpL.isVp8l(t), s"cut=$cut should still carry the signature")
+      assert(WebpL.dims(t).isEmpty, s"cut=$cut")
+    }
+    assert(WebpL.dims(good).contains((2, 1)))
+  }
 }
