@@ -83,6 +83,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("d3").decode_error.contains("empty payload"))
   }
 
+  test("lossy WebP (VP8 chunk) is a decode-failure row, never a crash") {
+    import spark.implicits._
+    // minimal RIFF/WEBP container with a LOSSY 'VP8 ' chunk: the
+    // from-scratch codec reads only VP8L (documented non-goal), the JDK
+    // ships no WebP reader — so the row must degrade, not throw
+    val body = Array.fill[Byte](16)(0x5A)
+    val bos = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    def le32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >>> (8 * i)) & 0xff))
+    tag("RIFF"); le32(4 + 8 + body.length); tag("WEBP")
+    tag("VP8 "); le32(body.length); bos.write(body)
+    val lossy = bos.toByteArray
+    assert(!graft.extract.WebpL.isVp8l(lossy))
+    assert(Multimodal.imageDims(lossy).isEmpty) // min-size path: filtered
+    val out = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.MediaRow("d1", "img-0.webp", "image/webp", lossy))),
+      Multimodal.ImageIoCodec).collect()
+    assert(out.length == 1 && out(0).decode_error.contains("undecodable"))
+  }
+
   test("resizeImages caps the longest side, re-encodes REAL WebP, passes small through") {
     import spark.implicits._
     val rows = Seq(
