@@ -387,14 +387,17 @@ object SparkEntry {
       // runs BEFORE the memory sink, so the driver holds three small
       // columns per doc, never the span payloads
       val ds = rawDocs(s, dir)
+      // keyed by (sf dir, application id) — like the q_ingest fixture — so
+      // an application touching several sf dirs can never cross-stage
       val stageDir =
-        s"${sys.props("java.io.tmpdir")}/graft_stream_raw_${s.sparkContext.applicationId}"
-      // stage the streaming SOURCE once per application (dir is keyed by
-      // applicationId, so a fresh run always re-stages): the corpus is a
-      // deterministic pure function of the sf dir, and re-materializing the
-      // identical input before each invocation only re-times the fixture
-      // write, not the streaming extraction under test — the timed
-      // computation (readStream → extractOne → sink) still runs in full
+        s"${sys.props("java.io.tmpdir")}/graft_stream_raw_" +
+          s"${math.abs(dir.hashCode.toLong)}_${s.sparkContext.applicationId}"
+      // stage the streaming SOURCE once per application (a fresh run always
+      // re-stages): the corpus is a deterministic pure function of the sf
+      // dir, and re-materializing the identical input before each
+      // invocation only re-times the fixture write, not the streaming
+      // extraction under test — the timed computation (readStream →
+      // extractOne → sink) still runs in full
       val staged = new java.io.File(s"$stageDir/_SUCCESS").exists()
       if (!staged) ds.write.mode("overwrite").parquet(stageDir)
       registerCleanup(stageDir)
