@@ -38,6 +38,16 @@ object SparkEntry {
     tbl(s, dir, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Collision-proof per-sf-dir key for staged fixture paths. String
+    * hashCode is 32-bit and unsalted — with build-once markers a collision
+    * between two sf dirs in one application would silently reuse the wrong
+    * fixture, so the key is a sha-256 prefix of the full path instead.
+    */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
   /** Shared corpus for the Gopher-repetition rows: 4-6 lines per doc, a
     * duplicate line when id%2==0, a second duplicate pair when id%3==2,
     * one bullet line, one ellipsis line — every signal arithmetic.
@@ -391,7 +401,7 @@ object SparkEntry {
       // an application touching several sf dirs can never cross-stage
       val stageDir =
         s"${sys.props("java.io.tmpdir")}/graft_stream_raw_" +
-          s"${math.abs(dir.hashCode.toLong)}_${s.sparkContext.applicationId}"
+          s"${dirKey(dir)}_${s.sparkContext.applicationId}"
       // stage the streaming SOURCE once per application (a fresh run always
       // re-stages): the corpus is a deterministic pure function of the sf
       // dir, and re-materializing the identical input before each
@@ -445,7 +455,7 @@ object SparkEntry {
       // each build so stale files from older slices/naming can never be
       // ingested; per-application dirs are removed on JVM exit
       val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_fixture_" +
-        s"${math.abs(dir.hashCode.toLong)}_${s.sparkContext.applicationId}"
+        s"${dirKey(dir)}_${s.sparkContext.applicationId}"
       sys.addShutdownHook(graft.io.TableIO.deleteRecursively(new java.io.File(base)))
       val baseP = java.nio.file.Paths.get(base)
       // build the fixture once per application (the dir is keyed by app id,

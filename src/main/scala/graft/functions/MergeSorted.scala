@@ -8,7 +8,15 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructType}
 
 /** K-way merge of pre-sorted struct arrays by their leading `offset:int`
-  * field — the REAL phase-2 of the skew-aware span assemble: phase 1
+  * field.
+  *
+  * RETAINED DELIBERATELY (round 6): the production assemble moved to the
+  * single-exchange [[SortedStructCollect]] aggregate, so this expression
+  * no longer sits on the main span path — it stays as the tested
+  * (FunctionsSpec) second implementation of the two-phase assemble shape,
+  * available to callers that already hold pre-sorted sub-lists.
+  *
+  * Original role — the phase-2 of the two-phase skew-aware assemble: phase 1
   * pre-sorts each `(doc_id, salt)` sub-list in parallel; this expression
   * merges the ≤`salt` sub-lists in O(total · k) without re-sorting them
   * (the round-2 finding: `array_sort(flatten(...))` threw the phase-1 work

@@ -10,14 +10,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** Sort-on-serialize struct collector: `array_sort(collect_list(s))` as ONE
   * aggregate whose map-side partial buffers are ALREADY sorted when they
-  * cross the shuffle, and whose final merge is a linear sorted-merge.
+  * cross the shuffle, and whose final step BALANCED-merges the queued
+  * pre-sorted runs in O(n log R).
   *
   * Motivation (optimization guide §2.3/§2.4 — shuffle fewer bytes, remove
   * exchanges): the round-2..5 skew-aware assemble was TWO aggregations —
   * `groupBy(doc_id, salt)` pre-sort then `groupBy(doc_id)` k-way merge —
   * which moves every span payload through TWO exchanges. This aggregate
-  * keeps both halves of that design (parallel map-side sorting, linear
-  * reduce-side merging) inside one aggregation, so the payload crosses ONE
+  * keeps both halves of that design (parallel map-side sorting, merge-only
+  * reduce side) inside one aggregation, so the payload crosses ONE
   * exchange: partial buffers sort in [[serialize]] (map side, parallel
   * across however many tasks hold the document's spans), and [[merge]]
   * (reduce side) only ever merges pre-sorted runs. A pathologically long
@@ -69,22 +70,23 @@ case class SortedStructCollect(
     buf
   }
 
+  // O(1): incoming runs queue up; the balanced collapse happens once, in
+  // eval/serialize — NOT pairwise per merge() call, which would cost
+  // O(n·R) on a document scattered over R map partials
   override def merge(buf: SortedRunsBuf, other: SortedRunsBuf): SortedRunsBuf = {
-    buf.mergeSorted(other, ordering)
+    buf.absorb(other, ordering)
     buf
   }
 
-  override def eval(buf: SortedRunsBuf): Any = {
-    buf.ensureSorted(ordering)
-    new GenericArrayData(buf.rows.toArray[Any])
-  }
+  override def eval(buf: SortedRunsBuf): Any =
+    new GenericArrayData(buf.collapsed(ordering).toArray[Any])
 
   override def serialize(buf: SortedRunsBuf): Array[Byte] = {
-    buf.ensureSorted(ordering) // map-side sort: partial runs ship pre-sorted
-    val bos = new java.io.ByteArrayOutputStream(16 + buf.rows.length * 64)
+    val run = buf.collapsed(ordering) // map-side sort: partials ship pre-sorted
+    val bos = new java.io.ByteArrayOutputStream(16 + run.length * 64)
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.rows.length)
-    buf.rows.foreach { r =>
+    out.writeInt(run.length)
+    run.foreach { r =>
       val bytes = r.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
@@ -96,7 +98,7 @@ case class SortedStructCollect(
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = new SortedRunsBuf
-    buf.rows.sizeHint(n)
+    val run = new Array[UnsafeRow](n)
     var i = 0
     val fields = structType.length
     while (i < n) {
@@ -105,10 +107,10 @@ case class SortedStructCollect(
       in.readFully(b)
       val row = new UnsafeRow(fields)
       row.pointTo(b, len)
-      buf.rows += row
+      run(i) = row
       i += 1
     }
-    buf.sorted = true // serialize() sorted it before writing
+    buf.addRun(run) // serialize() sorted it before writing
     buf
   }
 
@@ -121,44 +123,61 @@ case class SortedStructCollect(
   override def prettyName: String = "sorted_struct_collect"
 }
 
-/** Growable row buffer that tracks sortedness: `update` appends (unsorted),
-  * `serialize`/`eval` sort once, `merge` linear-merges two sorted runs.
+/** Run accumulator: `update` appends to an unsorted tail, `merge` queues
+  * whole pre-sorted runs in O(1), and `collapsed` folds everything into
+  * ONE sorted run by BALANCED pairwise merging — O(n log R) over R queued
+  * runs, never the O(n·R) a sequential fold would cost on a document
+  * scattered across many map partials.
   */
 final class SortedRunsBuf {
-  val rows = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-  var sorted = false
+  private val runs = scala.collection.mutable.ArrayDeque.empty[Array[UnsafeRow]]
+  private val cur = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
 
-  def append(r: UnsafeRow): Unit = { rows += r; sorted = false }
+  def append(r: UnsafeRow): Unit = cur += r
 
-  def ensureSorted(ord: Ordering[InternalRow]): Unit = {
-    if (!sorted) {
-      val arr = rows.toArray
-      java.util.Arrays.sort(arr, ord.asInstanceOf[Ordering[UnsafeRow]])
-      rows.clear()
-      rows ++= arr
-      sorted = true
-    }
+  def addRun(run: Array[UnsafeRow]): Unit = if (run.nonEmpty) runs += run
+
+  /** Steal the other buffer's runs (plus its unsorted tail, sorted). */
+  def absorb(other: SortedRunsBuf, ord: Ordering[InternalRow]): Unit = {
+    other.flushCur(ord)
+    runs ++= other.runs
+    other.runs.clear()
   }
 
-  /** Merge `other` into this buffer; both are sorted afterwards. O(n + m). */
-  def mergeSorted(other: SortedRunsBuf, ord: Ordering[InternalRow]): Unit = {
-    if (other.rows.isEmpty) { sorted ||= rows.isEmpty; if (!sorted) ensureSorted(ord); return }
-    ensureSorted(ord)
-    other.ensureSorted(ord)
-    if (rows.isEmpty) { rows ++= other.rows; sorted = true; return }
-    val a = rows.toArray
-    val b = other.rows.toArray
-    rows.clear()
-    rows.sizeHint(a.length + b.length)
-    var i = 0
-    var j = 0
-    while (i < a.length && j < b.length) {
-      if (ord.compare(a(i), b(j)) <= 0) { rows += a(i); i += 1 }
-      else { rows += b(j); j += 1 }
+  private def flushCur(ord: Ordering[InternalRow]): Unit =
+    if (cur.nonEmpty) {
+      val arr = cur.toArray
+      java.util.Arrays.sort(arr, ord.asInstanceOf[Ordering[UnsafeRow]])
+      runs += arr
+      cur.clear()
     }
-    while (i < a.length) { rows += a(i); i += 1 }
-    while (j < b.length) { rows += b(j); j += 1 }
-    sorted = true
+
+  private def mergeTwo(a: Array[UnsafeRow], b: Array[UnsafeRow],
+      ord: Ordering[InternalRow]): Array[UnsafeRow] = {
+    val out = new Array[UnsafeRow](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (ord.compare(a(i), b(j)) <= 0) { out(k) = a(i); i += 1 }
+      else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
+
+  /** The single fully-sorted run; idempotent (the result is re-queued). */
+  def collapsed(ord: Ordering[InternalRow]): Array[UnsafeRow] = {
+    flushCur(ord)
+    if (runs.isEmpty) return Array.empty
+    // balanced fold: always merge the two FRONT runs and re-queue the
+    // result at the BACK — every row participates in ~log R merges
+    while (runs.length > 1) {
+      val a = runs.removeHead()
+      val b = runs.removeHead()
+      runs += mergeTwo(a, b, ord)
+    }
+    runs.head
   }
 }
 

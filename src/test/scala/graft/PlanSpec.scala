@@ -107,12 +107,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema") && !p.contains("n_chars"), p) // pruned
   }
 
-  test("skew-aware assemble is two aggregates, no window, no sort exchange") {
+  test("skew-aware assemble: ONE exchange (round 6), no window, no sort") {
     import spark.implicits._
     val docs = Pipeline.toDocsDF(Pipeline.extract(
       spark.createDataset((0L until 50L).map(i => graft.io.SyntheticDocs.generate(42, i).raw))))
     val p = plan(SpanOps.assembleSkewAware(SpanOps.explodeSpans(docs)))
     assert(!p.contains("Window"), p)
+    // the round-6 invariant: the span payload crosses exactly one exchange
+    // (a reintroduced two-phase salt form would show two) with a partial +
+    // final aggregate pair around it
+    assert("Exchange".r.findAllIn(p).size == 1, p)
     assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
